@@ -1,0 +1,108 @@
+"""One-call parse API: bytes -> Output{document, encoding, quirks, errors}.
+
+Mirrors the reference's entry points (/root/reference/lib/Parser.php:49-142):
+encoding sniff ladder, decode, fused tokenize+tree-construct, and the
+bounded meta-charset re-parse (at most one restart; the ASCII fast path
+avoids it when both encodings agree on the input, parity
+/root/reference/lib/Parser/Data.php:355-369).
+"""
+
+from __future__ import annotations
+
+from . import charset, tokenizer as tz
+from .dom import Document, DocumentFragment, Element, HTML_NS, NO_QUIRKS
+from .treebuilder import EncodingChangeRequired, TreeBuilder
+
+
+class Output:
+    __slots__ = ("document", "encoding", "quirks_mode", "errors")
+
+    def __init__(self, document: Document, encoding: str, quirks_mode: int,
+                 errors: list[str]) -> None:
+        self.document = document
+        self.encoding = encoding
+        self.quirks_mode = quirks_mode
+        self.errors = errors
+
+
+def _parse_text(text: str, scripting: bool, meta_hook=None):
+    t = tz.Tokenizer(text)
+    tb = TreeBuilder(t, scripting=scripting, meta_encoding_hook=meta_hook)
+    doc = tb.run()
+    return doc, t.errors + tb.errors
+
+
+def parse(data: bytes | str, transport_charset: str | None = None,
+          fallback: str = "windows-1252", scripting: bool = False,
+          prescan_bytes: int = 1024) -> Output:
+    """Parse a full HTML document from raw bytes (or pre-decoded text)."""
+    if isinstance(data, str):
+        doc, errors = _parse_text(data, scripting)
+        return Output(doc, "utf-8", doc.quirks_mode, errors)
+
+    encoding, certain = charset.sniff(data, transport_charset, fallback, prescan_bytes)
+    for _attempt in range(2):
+        text = charset.decode(data, encoding)
+        changed: list[str] = []
+
+        def meta_hook(new_enc: str, _certain=certain, _enc=encoding) -> None:
+            if _certain:
+                return
+            if new_enc in ("utf-16be", "utf-16le"):
+                new_enc = "utf-8"
+            elif new_enc == "x-user-defined":
+                new_enc = "windows-1252"
+            if new_enc == _enc:
+                return
+            # restart only when the two decodings actually differ
+            if data.isascii() and new_enc not in ("utf-16be", "utf-16le", "replacement") \
+                    and _enc not in ("utf-16be", "utf-16le", "replacement",
+                                     "iso-2022-jp", "x-user-defined"):
+                changed.append(new_enc)  # relabel, identical decode
+                return
+            raise EncodingChangeRequired(new_enc)
+
+        try:
+            doc, errors = _parse_text(text, scripting, meta_hook if not certain else None)
+        except EncodingChangeRequired as e:
+            encoding = e.encoding
+            certain = True
+            continue
+        if changed:
+            encoding = changed[-1]
+        return Output(doc, encoding, doc.quirks_mode, errors)
+    raise AssertionError("unreachable: at most one encoding restart")
+
+
+def parse_fragment(data: bytes | str, context: str | Element,
+                   quirks_mode: int = NO_QUIRKS, encoding: str | None = None,
+                   scripting: bool = False) -> DocumentFragment:
+    """innerHTML-style fragment parse (parity:
+    /root/reference/lib/Parser.php:61-72, fragment algorithm
+    /root/reference/lib/Parser/TreeConstructor.php:278-323).
+
+    ``context`` is an Element or a name like ``"div"``, ``"svg path"``,
+    ``"math ms"`` (html5lib fragment-context syntax).
+    """
+    if isinstance(context, str):
+        parts = context.split()
+        if len(parts) == 2:
+            ns = {"svg": "http://www.w3.org/2000/svg",
+                  "math": "http://www.w3.org/1998/Math/MathML"}[parts[0]]
+            context = Element(parts[1], ns)
+        else:
+            context = Element(parts[0], HTML_NS)
+    if isinstance(data, bytes):
+        enc = encoding or charset.sniff(data)[0]
+        data = charset.decode(data, enc)
+    t = tz.Tokenizer(data)
+    tb = TreeBuilder(t, scripting=scripting, fragment_context=context)
+    tb.doc.quirks_mode = quirks_mode
+    doc = tb.run()
+    frag = DocumentFragment()
+    root = doc.children[0] if doc.children else None
+    if root is not None:
+        for child in list(root.children):
+            root.remove(child)
+            frag.append(child)
+    return frag
