@@ -1,0 +1,168 @@
+"""Unit tests per engine module (model: the reference's PHPUnit suites,
+/root/reference/tests/phpunit.dist.xml — Charset, Parser, Serializer,
+Encoding-change)."""
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from html_parser_spark.engine import charset, parse, parse_fragment, serialize, serialize_inner
+from html_parser_spark.engine.dom import QUIRKS, NO_QUIRKS
+from html_parser_spark.engine.extractor import extract_text, text_content
+
+
+class TestCharset:
+    @pytest.mark.parametrize("label,expected", [
+        ("UTF-8", "utf-8"), (" utf8\t", "utf-8"), ("latin1", "windows-1252"),
+        ("ISO-8859-1", "windows-1252"), ("shift-jis", "shift_jis"),
+        ("sjis", "shift_jis"), ("ms932", "shift_jis"), ("unicode", "utf-16le"),
+        ("csbig5", "big5"), ("nonsense", None), ("", None),
+        ("iso-8859-9", "windows-1254"), ("tis-620", "windows-874"),
+    ])
+    def test_labels(self, label, expected):
+        assert charset.label_to_encoding(label) == expected
+
+    @pytest.mark.parametrize("data,expected", [
+        (b"\xef\xbb\xbfx", "utf-8"), (b"\xfe\xffx", "utf-16be"),
+        (b"\xff\xfex", "utf-16le"), (b"plain", None),
+    ])
+    def test_bom(self, data, expected):
+        assert charset.from_bom(data) == expected
+
+    @pytest.mark.parametrize("ct,expected", [
+        ("text/html; charset=utf-8", "utf-8"),
+        ("text/html; charset=\"euc-kr\"", "euc-kr"),
+        ("text/html", None), (None, None),
+        ("text/html; CHARSET=UTF-8; foo=bar", "utf-8"),
+    ])
+    def test_transport(self, ct, expected):
+        assert charset.from_transport(ct) == expected
+
+    def test_bom_beats_transport_and_meta(self):
+        data = "﻿<meta charset=koi8-r>тест".encode("utf-16le")
+        enc, certain = charset.sniff(data, transport_charset="euc-kr")
+        assert enc == "utf-16le" and certain
+        assert "тест" in charset.decode(data, enc)
+
+    def test_decode_replaces_invalid(self):
+        assert charset.decode(b"a\xffb", "utf-8") == "a�b"
+
+    def test_decode_normalizes_newlines(self):
+        assert charset.decode(b"a\r\nb\rc\nd", "utf-8") == "a\nb\nc\nd"
+
+    def test_x_user_defined(self):
+        assert charset.decode(b"a\x80", "x-user-defined") == "a"
+
+    def test_meta_restart_changes_encoding(self):
+        # meta beyond the prescan window, non-ASCII byte that differs
+        # between windows-1252 and iso-8859-5 -> forces the bounded restart
+        filler = b"<!-- " + b"x" * 1100 + b" -->"
+        data = filler + "<meta charset=iso-8859-5><p>\xd0".encode("latin-1")
+        out = parse(data)
+        assert out.encoding == "iso-8859-5"
+        text, _ = extract_text(out.document)
+        assert text == "а"  # 0xD0 in iso-8859-5 is CYRILLIC SMALL A
+
+    def test_meta_relabel_ascii_no_restart(self):
+        filler = b"<!-- " + b"x" * 1100 + b" -->"
+        out = parse(filler + b"<meta charset=utf-8><p>ok")
+        assert out.encoding == "utf-8"
+
+
+class TestParserAPI:
+    def test_output_fields(self):
+        out = parse(b"<!DOCTYPE html><p>x")
+        assert out.quirks_mode == NO_QUIRKS
+        assert out.encoding == "windows-1252"
+        assert isinstance(out.errors, list)
+
+    def test_quirks_without_doctype(self):
+        assert parse(b"<p>x").quirks_mode == QUIRKS
+
+    def test_str_input(self):
+        out = parse("<p>héllo")
+        assert text_content(out.document) == "héllo"
+
+    def test_fragment(self):
+        frag = parse_fragment("<li>a<li>b", "ul")
+        assert [c.name for c in frag.children] == ["li", "li"]
+
+    def test_fragment_rcdata_context(self):
+        frag = parse_fragment("a<b>c", "title")
+        assert len(frag.children) == 1
+        assert frag.children[0].data == "a<b>c"
+
+
+class TestSerializer:
+    @pytest.mark.parametrize("html,expected", [
+        ("<p class='a'>x</p>", '<p class="a">x</p>'),
+        ("<br><hr>", "<br><hr>"),
+        ("<div>&lt;&amp;&gt;</div>", "<div>&lt;&amp;&gt;</div>"),
+        ("<script>a < b && c</script>", "<script>a < b && c</script>"),
+        ("<span title='\"q\"'>t</span>", '<span title="&quot;q&quot;">t</span>'),
+        ("<template><b>t</b></template>", "<template><b>t</b></template>"),
+        ("<svg><a xlink:href='u'>t</a></svg>",
+         '<svg><a xlink:href="u">t</a></svg>'),
+    ])
+    def test_body_roundtrip(self, html, expected):
+        out = parse(f"<!DOCTYPE html><body>{html}")
+        body = out.document.children[-1].children[-1]
+        assert serialize_inner(body) == expected
+
+    def test_nbsp_escaped(self):
+        out = parse("<!DOCTYPE html><body><p>a b")
+        body = out.document.children[-1].children[-1]
+        assert serialize_inner(body) == "<p>a&nbsp;b</p>"
+
+    def test_reparse_fixpoint(self):
+        src = b"<!DOCTYPE html><p>One<table><td>x</table><b>i<i>j</b>k</i>"
+        once = serialize(parse(src).document)
+        twice = serialize(parse(once).document)
+        assert once == twice
+
+
+class TestExtractor:
+    def test_spans(self):
+        out = parse(b"<!DOCTYPE html><body><div><p>ab</p><p>cd</p></div>")
+        text, spans = extract_text(out.document)
+        assert text == "abcd"
+        by_path = {s[0]: s for s in spans}
+        assert by_path["body/div[0]/p[0]"][2:] == (0, 2)
+        assert by_path["body/div[0]/p[1]"][2:] == (2, 4)
+        assert by_path["body/div[0]"][2:] == (0, 4)
+
+    def test_template_content_excluded(self):
+        out = parse(b"<!DOCTYPE html><body>a<template>hidden</template>b")
+        text, _ = extract_text(out.document)
+        assert text == "ab"
+
+    def test_frameset_document_has_no_text(self):
+        out = parse(b"<frameset><frame></frameset>")
+        text, spans = extract_text(out.document)
+        assert text == "" and spans == []
+
+    def test_rcdata_text_included_script_included(self):
+        # textContent includes script/style text nodes under body
+        out = parse(b"<!DOCTYPE html><body><p>a</p><script>s()</script>")
+        text, _ = extract_text(out.document)
+        assert text == "as()"
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(
+    alphabet=st.sampled_from(list("<>&;/=\"' abAB\t\n-!?[]0#xé" + "\x00")),
+    max_size=60))
+def test_parse_never_crashes_and_serialize_is_fixpoint(s):
+    out = parse(s)
+    html = serialize(out.document)
+    out2 = parse(html)
+    assert serialize(out2.document) == serialize(out2.document)
+    # extraction is total
+    extract_text(out.document)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=80))
+def test_parse_accepts_arbitrary_bytes(b):
+    out = parse(b)
+    assert out.encoding
+    extract_text(out.document)
