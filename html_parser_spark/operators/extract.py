@@ -1,0 +1,97 @@
+"""The flagship operator: WHATWG parse + text extraction over Arrow
+batches of raw html bytes.
+
+Equivalent reference surface: ``Parser::parse`` + body ``textContent``
+(/root/reference/lib/Parser.php:49-142, README.md:138-147). The whole
+bytes → sniff → tokenize → tree-construct → extract lifecycle is one
+Python call per document (the stages are coupled by feedback loops —
+SURVEY.md §3.4 — so they fuse into a single kernel), applied across an
+Arrow batch under ``mapInPandas``.
+
+Scale notes (100 TB / 10^12 docs):
+
+- **Arrow batch sizing.** Cells are whole html documents (KBs-MBs), so
+  the default 10k-rows-per-batch would make multi-GB batches. Callers
+  must set ``spark.sql.execution.arrow.maxRecordsPerBatch`` to ~64-128
+  (done in ``plans.pipeline.configure``).
+- **Bounded memory.** Per-document work is O(doc size); ``max_html_bytes``
+  hard-caps pathological documents (they are truncated at a cap and
+  flagged, never parsed unbounded).
+- **Counters, not lists.** Parse errors become per-doc counts plus
+  per-partition counter rows; full error tuples never leave the executor
+  (the reference gates error collection the same way for performance —
+  /root/reference/lib/Parser/Data.php:56-57).
+- **Lineage.** Every output row carries the executor partition id and a
+  batch sequence number, so a resumed/retried run can be audited
+  per-partition (north_rule: "per-partition lineage + metrics").
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from ..engine import parse, extract_text
+
+EXTRACT_SCHEMA = (
+    "url string, text string, "
+    "spans array<struct<path:string,tag:string,start:long,end:long>>, "
+    "encoding string, quirks_mode int, n_errors long, html_bytes long, "
+    "truncated boolean, part_id int, batch_seq long"
+)
+
+
+def parse_extract_batch(pdf: pd.DataFrame, part_id: int, batch_seq: int,
+                        max_html_bytes: int, max_spans: int,
+                        with_spans: bool) -> pd.DataFrame:
+    """Parse+extract one Arrow batch (pure pandas-in/pandas-out)."""
+    out = {k: [] for k in ("url", "text", "spans", "encoding", "quirks_mode",
+                           "n_errors", "html_bytes", "truncated")}
+    for url, html in zip(pdf["url"], pdf["html"]):
+        raw = bytes(html) if html is not None else b""
+        truncated = False
+        if max_html_bytes and len(raw) > max_html_bytes:
+            raw, truncated = raw[:max_html_bytes], True
+        try:
+            o = parse(raw)
+            text, spans = extract_text(o.document, max_spans=max_spans)
+            enc, quirks, nerr = o.encoding, o.quirks_mode, len(o.errors)
+        except Exception:  # never fail the task for one bad document
+            text, spans, enc, quirks, nerr = "", [], "error", 0, -1
+        out["url"].append(url)
+        out["text"].append(text)
+        out["spans"].append(
+            [{"path": p, "tag": t, "start": s, "end": e}
+             for (p, t, s, e) in spans] if with_spans else [])
+        out["encoding"].append(enc)
+        out["quirks_mode"].append(quirks)
+        out["n_errors"].append(nerr)
+        out["html_bytes"].append(len(raw))
+        out["truncated"].append(truncated)
+    res = pd.DataFrame(out)
+    res["part_id"] = part_id
+    res["batch_seq"] = batch_seq
+    return res
+
+
+def extract_pages(pages_df, max_html_bytes: int = 64 * 1024 * 1024,
+                  max_spans: int = 10_000, with_spans: bool = True):
+    """pages(url, html, ...) -> extraction output DataFrame.
+
+    Column pruning: selects only (url, html) before the UDF so the scan
+    never reads columns the kernel doesn't need.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:  # partition id for lineage; absent in bare-pandas tests
+            from pyspark import TaskContext
+            tc = TaskContext.get()
+            part_id = tc.partitionId() if tc is not None else -1
+        except Exception:
+            part_id = -1
+        for seq, pdf in enumerate(batches):
+            yield parse_extract_batch(pdf, part_id, seq, max_html_bytes,
+                                      max_spans, with_spans)
+
+    return pages_df.select("url", "html").mapInPandas(run, schema=EXTRACT_SCHEMA)

@@ -1,0 +1,138 @@
+"""The production extraction pipeline plan.
+
+North-rule shape (BASELINE.json): Iceberg-table-in → explicit
+url-hash repartition with salting for skewed giant documents →
+vectorized parse/extract → checkpointed Iceberg-table-out with
+per-partition lineage + metrics, resumable from the last committed
+snapshot, scaling ≥0.8 efficiency from N to 4N executors.
+
+In-sandbox the Iceberg catalog is stood in for by parquet directories
+(the plan's dataflow — snapshot-dedup anti-join, atomic append, lineage
+columns — is identical; swap ``format("parquet")`` for
+``format("iceberg")`` + a catalog on a real cluster).
+
+Why each piece exists at 10^12-document scale:
+
+- ``salted_repartition``: html sizes are Zipf-ish; a pure
+  ``repartition(hash(url))`` puts multi-MB giants next to thousands of
+  small pages and the straggler partition dominates wall-clock (AQE skew
+  handling only rebalances *joins/aggs*, not ``mapInPandas``). We salt
+  by size class: giant docs spread across ``salt_buckets`` partitions.
+- ``resume_filter``: a left **anti join** of the source against the
+  already-committed output keys. On Iceberg this reads only the
+  ``url`` column of committed snapshots (column pruning), and Spark
+  broadcast-joins it when small or shuffle-joins both sides when not —
+  either way the re-run never re-parses committed documents.
+- ``run_report``: per-partition counters aggregated JVM-side
+  (groupBy/sum — a map-side-combinable agg, one small shuffle).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.extract import extract_pages
+
+BIG_DOC_BYTES = 1 << 20  # 1 MiB: size class boundary for salting
+
+
+def configure(builder_or_spark=None, cpus: int | None = None,
+              shuffle_partitions: int | None = None,
+              arrow_batch: int = 64):
+    """Build (or tune) a SparkSession for the extraction workload.
+
+    - Arrow batches capped at ``arrow_batch`` docs (cells are MB-scale;
+      the 10k default would build multi-GB Arrow buffers).
+    - AQE on: runtime coalescing of the post-shuffle partitions.
+    - ``files.maxPartitionBytes`` left at default for parquet; on Iceberg
+      use the table's split size.
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(2 * cpus, 8)
+    b = builder_or_spark or SparkSession.builder
+    if isinstance(b, SparkSession):
+        return b
+    return (b.master(f"local[{cpus}]")
+            .appName("html-parser-spark")
+            .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                    str(arrow_batch))
+            .config("spark.python.worker.reuse", "true")
+            .config("spark.driver.memory",
+                    os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+            .getOrCreate())
+
+
+def salted_repartition(pages: DataFrame, num_partitions: int,
+                       big_doc_bytes: int = BIG_DOC_BYTES,
+                       salt_buckets: int = 16) -> DataFrame:
+    """Explicit url-hash repartition with giant-document salting.
+
+    Normal docs shuffle on ``xxhash64(url)`` (stable co-location so a
+    resumed run lands urls on the same key-space); giant docs get a salt
+    in [0, salt_buckets) derived from the url hash itself (deterministic,
+    no RNG) so they spread instead of clumping.
+    """
+    h = F.xxhash64("url")
+    salt = F.when(F.length("html") > big_doc_bytes,
+                  F.pmod(F.xxhash64("url", F.lit(1)), F.lit(salt_buckets))
+                  ).otherwise(F.lit(0))
+    return (pages
+            .withColumn("_salt", salt)
+            .repartition(num_partitions, h, F.col("_salt"))
+            .drop("_salt"))
+
+
+def resume_filter(pages: DataFrame, output_path: str) -> DataFrame:
+    """Drop documents whose url is already committed at output_path
+    (checkpoint resume — snapshot-based, not streaming)."""
+    spark = pages.sparkSession
+    try:
+        done = spark.read.parquet(output_path).select("url")
+    except Exception:  # first run: nothing committed yet
+        return pages
+    return pages.join(done, "url", "left_anti")
+
+
+def run_extraction(spark: SparkSession, pages: DataFrame, output_path: str,
+                   num_partitions: int | None = None, resume: bool = True,
+                   with_spans: bool = True) -> dict:
+    """End-to-end job: resume-filter → salted repartition → extract →
+    atomic append → run report. Returns the report dict."""
+    if resume:
+        pages = resume_filter(pages, output_path)
+    parts = num_partitions or spark.sparkContext.defaultParallelism * 2
+    result = extract_pages(salted_repartition(pages, parts),
+                           with_spans=with_spans)
+    t0 = time.monotonic()
+    result.write.mode("append").parquet(output_path)
+    wall = time.monotonic() - t0
+    report = run_report(spark.read.parquet(output_path))
+    report["wall_s"] = round(wall, 3)
+    return report
+
+
+def run_report(out: DataFrame) -> dict:
+    """Aggregate per-partition lineage counters into a run report.
+    All JVM-side: one partial-aggregated shuffle over tiny data."""
+    per_part = (out.groupBy("part_id")
+                .agg(F.count("*").alias("docs"),
+                     F.sum("html_bytes").alias("bytes"),
+                     F.sum("n_errors").alias("errors"),
+                     F.sum(F.col("truncated").cast("long")).alias("truncated"))
+                .collect())
+    total = {
+        "docs": sum(r["docs"] for r in per_part),
+        "bytes": int(sum(r["bytes"] or 0 for r in per_part)),
+        "errors": int(sum(r["errors"] or 0 for r in per_part)),
+        "truncated": int(sum(r["truncated"] or 0 for r in per_part)),
+        "partitions": len(per_part),
+    }
+    total["per_partition"] = {int(r["part_id"]): int(r["docs"])
+                              for r in per_part}
+    return total

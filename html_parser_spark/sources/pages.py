@@ -1,0 +1,170 @@
+"""Deterministic Common-Crawl-style ``pages`` synthesis.
+
+``BASELINE.json.input_hint`` pins the input shape: an Iceberg table of
+web pages with columns ``(url string, warc_ts timestamp, html binary,
+text string, lang string)``. In production that table is a real crawl;
+in this sandbox we synthesise it **deterministically** (pure function of
+``documents.parquet`` rows — no RNG, no wall clock) so that
+
+1. every test/bench input is reproducible bit-for-bit, and
+2. the *expected* extracted text is computable in ANSI SQL from the
+   ``documents`` table alone, giving the DuckDB oracle a way to verify a
+   real WHATWG parse end-to-end (the ``text`` column carries the golden
+   extraction, like Common Crawl's WET text next to the WARC html).
+
+The generated corpus deliberately exercises the parser surface the
+reference covers (/root/reference/lib/Parser.php:49-142):
+
+- the charset-sniff ladder (BOM / ``<meta charset>`` prescan / transport
+  absent / windows-1252 fallback / late-meta relabel) via 8 encoding
+  variants keyed on ``doc_id % 8``;
+- quirks-mode determination (missing doctype every 11th doc);
+- character references (escaped text + a literal ``&amp;`` in the footer);
+- formatting elements incl. a *misnested* ``<b>…<i>…</b>…</i>`` variant
+  (every ``doc_id % 7 == 3``) that drives the adoption-agency algorithm —
+  textContent order is invariant under adoption, so the golden text is
+  unaffected;
+- skew: every 97th doc repeats its body 50×, every 13th 8× ("giant
+  documents"), so the salting path in the job plan has something to do.
+
+Generation runs **distributed** (a pandas batch kernel under
+``mapInPandas``), never on the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
+                "text string, lang string")
+
+# encoding variants keyed on doc_id % 8: (label-for-meta, python-codec,
+# bom, has_meta).  All generated text is ASCII, so every variant decodes
+# to identical code points; what differs is which rung of the sniff
+# ladder (parity /root/reference/lib/Parser/Data.php:59-95) fires and
+# which canonical encoding name the parse reports.
+_ENC_VARIANTS = [
+    ("utf-8", "utf-8", b"", True),           # 0: meta prescan hit
+    (None, "utf-8", b"\xef\xbb\xbf", False),  # 1: UTF-8 BOM
+    ("windows-1252", "cp1252", b"", True),    # 2: meta → windows-1252
+    (None, "utf-16-le", b"\xff\xfe", False),  # 3: UTF-16LE BOM
+    (None, "utf-8", b"", False),              # 4: no signal → fallback
+    ("iso-8859-1", "cp1252", b"", True),      # 5: label alias → windows-1252
+    ("late", "utf-8", b"", False),            # 6: meta AFTER 1024B → relabel
+    (None, "utf-16-be", b"\xfe\xff", False),  # 7: UTF-16BE BOM
+]
+
+# what Charset.sniff + parse will *report* per variant (oracle mirror)
+REPORTED_ENCODING = ["utf-8", "utf-8", "windows-1252", "utf-16le",
+                     "windows-1252", "windows-1252", "utf-8", "utf-16be"]
+
+_PAD = "x" * 1100  # pushes variant-6 meta past the 1024-byte prescan window
+
+
+def _escape(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def rep_factor(doc_id: int) -> int:
+    """Giant-document skew factor (mirrored in oracle SQL)."""
+    if doc_id % 97 == 0:
+        return 50
+    if doc_id % 13 == 0:
+        return 8
+    return 1
+
+
+def _paragraph(doc_id: int, text: str) -> str:
+    """One <p> whose textContent is exactly ``text``.
+
+    Formatting wrappers never change textContent (tags are invisible to
+    extraction), so variants are free to exercise inline/misnested
+    formatting without touching the golden text.
+    """
+    words = text.split(" ")
+    if doc_id % 7 == 3 and len(words) >= 3:
+        # misnested → adoption agency (reference TreeConstructor.php:3460)
+        w = [_escape(x) for x in words]
+        return ("<p><b>" + w[0] + " <i>" + w[1] + "</b> "
+                + " ".join(w[2:]) + "</i></p>")
+    if doc_id % 5 == 0 and len(words) >= 3:
+        w = [_escape(x) for x in words]
+        return ("<p><b>" + w[0] + "</b> <em>" + w[1] + "</em> "
+                + " ".join(w[2:]) + "</p>")
+    return "<p>" + _escape(text) + "</p>"
+
+
+def expected_text(doc_id: int, text: str, lang: str, source: str) -> str:
+    """Golden body.textContent — kept in lockstep with oracle SQL in
+    __spark_entry__.py (EXPECTED_TEXT_SQL)."""
+    rep = rep_factor(doc_id)
+    body = "\n".join([text] * rep)
+    return f"Doc {doc_id}\n{body}\nsrc={source}&lang={lang}"
+
+
+def build_page(doc_id: int, text: str, lang: str, source: str
+               ) -> tuple[str, pd.Timestamp, bytes, str, str]:
+    """Pure function: one documents row -> one pages row."""
+    variant = doc_id % 8
+    label, codec, bom, has_meta = _ENC_VARIANTS[variant]
+    rep = rep_factor(doc_id)
+
+    head_parts = []
+    if doc_id % 11 != 0:
+        head_parts.append("<!DOCTYPE html>")
+    head_parts.append("<html><head>")
+    if has_meta:
+        head_parts.append(f'<meta charset="{label}">')
+    head_parts.append(f"<title>Doc {doc_id}</title>")
+    if label == "late":
+        # comment pad keeps the meta outside the 1024-byte prescan window;
+        # the in-head meta handler then relabels (ASCII prefix → no restart,
+        # parity /root/reference/lib/Parser/Data.php:355-369)
+        head_parts.append(f"<!-- {_PAD} -->")
+        head_parts.append('<meta charset="utf-8">')
+    head_parts.append("</head>")
+
+    paras = "\n".join(_paragraph(doc_id, text) for _ in range(rep))
+    body = (f"<body><h1>Doc {doc_id}</h1>\n{paras}\n"
+            f"<footer>src={_escape(source)}&amp;lang={_escape(lang)}</footer>"
+            f"</body></html>")
+    html = bom + ("".join(head_parts) + body).encode(codec)
+
+    url = f"https://example.org/{source}/doc{doc_id:08d}.html"
+    # deterministic pseudo-crawl timestamp: seconds offset by a stable hash
+    off = int.from_bytes(hashlib.sha256(url.encode()).digest()[:4], "big")
+    ts = pd.Timestamp("2025-01-01") + pd.Timedelta(seconds=off % 31_536_000)
+    return url, ts, html, expected_text(doc_id, text, lang, source), lang
+
+
+def _synthesize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = [build_page(int(r.doc_id), r.text, r.lang, r.source)
+                for r in pdf.itertuples(index=False)]
+        yield pd.DataFrame(rows, columns=["url", "warc_ts", "html",
+                                          "text", "lang"])
+
+
+def pages_df(spark, sf_dir: str, copies: int = 1):
+    """documents.parquet -> pages DataFrame (distributed synthesis).
+
+    ``copies > 1`` replicates every document under distinct urls (path
+    suffix ``/c{i}``) with identical html — a deterministic corpus
+    scale-up used by the bench and by dedup demos. The replication is a
+    Catalyst ``explode`` (JVM-side), so only the parse pays per-copy.
+    """
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text", "lang", "source")
+    pages = docs.mapInPandas(_synthesize_batches, schema=PAGES_SCHEMA)
+    if copies > 1:
+        pages = (pages
+                 .withColumn("c", F.explode(F.sequence(F.lit(0), F.lit(copies - 1))))
+                 .withColumn("url", F.concat(F.col("url"), F.lit("?c="),
+                                             F.col("c").cast("string")))
+                 .drop("c"))
+    return pages
