@@ -1,38 +1,341 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship WHATWG parse + main-content
+extraction over the sf0.001 corpus. ``queries()`` exposes every
+implemented operator family (SURVEY.md §2 + the training-data-pipeline
+operators) and ``oracle_sql()`` gives DuckDB-runnable ANSI-SQL twins.
+
+How HTML extraction gets a SQL oracle: the ``pages`` corpus is a
+deterministic pure function of ``documents.parquet``
+(html_parser_spark/sources/pages.py), designed so the *expected*
+body.textContent / encoding / quirks mode / error presence are all
+closed-form SQL expressions over ``documents`` — the Spark side runs a
+real byte-level WHATWG parse (charset sniff ladder → 80-state tokenizer
+→ tree construction incl. adoption agency → textContent extraction) and
+DuckDB independently computes what that parse must produce.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from html_parser_spark.functions.hashing import (
+    BANDS, NUM_HASHES, P31, SIMHASH_BITS, duckdb_base_hash, minhash_term)
+from html_parser_spark.operators import dedup, similarity, textstats
+from html_parser_spark.operators.extract import extract_pages, roundtrip_check
+from html_parser_spark.sources.pages import pages_df
+
+# ---------------------------------------------------------------- oracle
+# SQL fragments mirroring sources/pages.py (keep in lockstep!)
+
+URL_SQL = ("('https://example.org/' || source || '/doc' || "
+           "lpad(doc_id::varchar, 8, '0') || '.html')")
+REP_SQL = ("(CASE WHEN doc_id % 97 = 0 THEN 50 "
+           "WHEN doc_id % 13 = 0 THEN 8 ELSE 1 END)")
+TEXT_SQL = (f"('Doc ' || doc_id || chr(10) || "
+            f"repeat(text || chr(10), {REP_SQL} - 1) || text || chr(10) || "
+            f"'src=' || source || '&lang=' || lang)")
+ENC_SQL = ("(CASE doc_id % 8 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8' "
+           "WHEN 2 THEN 'windows-1252' WHEN 3 THEN 'utf-16le' "
+           "WHEN 4 THEN 'windows-1252' WHEN 5 THEN 'windows-1252' "
+           "WHEN 6 THEN 'utf-8' ELSE 'utf-16be' END)")
+QUIRKS_SQL = "(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END)::bigint"
+HAS_ERRORS_SQL = "(doc_id % 11 = 0 OR doc_id % 7 = 3)"
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in textstats.STOPWORDS) + "]"
+
+# word-3-gram shingle CTEs (DuckDB)
+_SHINGLE_CTE = """
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+      FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i) t)
+"""
+
+
+def _minhash_sig_cte() -> str:
+    hb = duckdb_base_hash("gram")
+    mins = ", ".join(f"min({minhash_term(i, hb)}) AS sig_{i}"
+                     for i in range(NUM_HASHES))
+    fills = ", ".join(f"coalesce(sig_{i}, {P31}) AS sig_{i}"
+                      for i in range(NUM_HASHES))
+    return (f"{_SHINGLE_CTE}, "
+            f"sigs0 AS (SELECT doc_id, {mins} FROM g GROUP BY doc_id), "
+            f"sigs AS (SELECT d.doc_id, {fills} FROM "
+            f"(SELECT doc_id FROM documents) d LEFT JOIN sigs0 USING (doc_id))")
+
+
+def _minhash_pairs_sql() -> str:
+    band_key = " ".join(
+        f"WHEN {b} THEN sig_{2 * b} * {P31} + sig_{2 * b + 1}"
+        for b in range(BANDS))
+    matches = " + ".join(
+        f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)"
+        for i in range(NUM_HASHES))
+    return f"""
+WITH {_minhash_sig_cte()},
+bands AS (SELECT doc_id, b, (CASE b {band_key} END) AS band_key
+          FROM sigs, (SELECT unnest(range({BANDS})) AS b)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, ({matches})::bigint AS n_matching_sigs
+FROM cand JOIN sigs sa ON cand.doc_a = sa.doc_id
+          JOIN sigs sb ON cand.doc_b = sb.doc_id
+"""
+
+
+def _simhash_cte() -> str:
+    hb = duckdb_base_hash("tok")
+    bitsums = ", ".join(
+        f"sum(CASE WHEN (hb >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(SIMHASH_BITS))
+    packed = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i}::bigint ELSE 0 END)"
+        for i in range(SIMHASH_BITS))
+    return f"""
+t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (SELECT doc_id, {hb} AS hb FROM t),
+bitsums AS (SELECT doc_id, {bitsums} FROM h GROUP BY doc_id),
+sh AS (SELECT doc_id, ({packed})::bigint AS simhash FROM bitsums)
+"""
+
+
+_SIM_QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7]
+
+
+# ---------------------------------------------------------------- Spark
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full parse+extract pipeline over sf0.001 pages."""
+    pages = pages_df(spark, "/root/testdata/sf0.001")
+    out = extract_pages(pages)
+    return out.select("url", "text", "encoding", "quirks_mode", "n_errors",
+                      "html_bytes", F.size("spans").alias("n_spans"))
+
+
+def _q_extract_text(spark, sf_dir):
+    return (extract_pages(pages_df(spark, sf_dir), with_spans=False)
+            .select("url", "text"))
+
+
+def _q_extract_meta(spark, sf_dir):
+    return (extract_pages(pages_df(spark, sf_dir), with_spans=False)
+            .select("url",
+                    "encoding",
+                    F.col("quirks_mode").cast("long").alias("quirks_mode"),
+                    (F.col("n_errors") > 0).alias("has_errors")))
+
+
+def _q_extract_enc_distribution(spark, sf_dir):
+    return (extract_pages(pages_df(spark, sf_dir), with_spans=False)
+            .groupBy("encoding")
+            .agg(F.count("*").alias("n_docs")))
+
+
+def _q_extract_spans(spark, sf_dir):
+    out = extract_pages(pages_df(spark, sf_dir))
+    n_p = F.size(F.filter(F.col("spans"), lambda s: s["tag"] == F.lit("p")))
+    return out.select("url", n_p.cast("long").alias("n_paragraphs"))
+
+
+def _q_roundtrip(spark, sf_dir):
+    rt = roundtrip_check(pages_df(spark, sf_dir))
+    return rt.agg(F.count("*").alias("n_docs"),
+                  F.sum(F.col("idempotent").cast("long"))
+                  .alias("n_idempotent"))
+
+
+def _q_resume_antijoin(spark, sf_dir):
+    """Checkpoint-resume shape: anti-join pages against committed urls
+    (here: the even doc_ids, built JVM-side from documents)."""
+    pages = pages_df(spark, sf_dir).select("url")
+    docs = _docs(spark, sf_dir)
+    committed = (docs.filter(F.col("doc_id") % 2 == 0)
+                 .select(F.concat(F.lit("https://example.org/"),
+                                  F.col("source"), F.lit("/doc"),
+                                  F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+                                  F.lit(".html")).alias("url")))
+    return pages.join(committed, "url", "left_anti")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+def _q_dedup_exact_extracted(spark, sf_dir):
+    """Composition: synthesize pages with 2 copies per doc (distinct
+    urls, identical html) → real WHATWG parse+extract → exact dedup on
+    the *extracted* text. Every group must collapse to exactly 2 copies
+    (expected texts embed the doc_id, so cross-doc collisions can't
+    happen)."""
+    pages = pages_df(spark, sf_dir, copies=2)
+    out = extract_pages(pages, with_spans=False)
+    return (out.groupBy(F.md5(F.col("text").cast("binary")).alias("k"))
+            .agg(F.min("url").alias("kept_url"),
+                 F.count("*").alias("n_copies"))
+            .select("kept_url", "n_copies"))
+
+
+def _q_dedup_jaccard(spark, sf_dir):
+    return dedup.jaccard_pairs(_docs(spark, sf_dir), n=3, min_pct=60)
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    return (dedup.minhash_band_pairs(_docs(spark, sf_dir))
+            .select("doc_a", "doc_b",
+                    F.col("n_matching_sigs").cast("long")
+                    .alias("n_matching_sigs")))
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+def _q_dedup_simhash_pairs(spark, sf_dir):
+    return (dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=12)
+            .select("doc_a", "doc_b",
+                    F.col("hamming").cast("long").alias("hamming")))
+
+
+def _q_sim_topk(spark, sf_dir):
+    return (similarity.cosine_topk(_emb(spark, sf_dir), _SIM_QUERY_IDS, k=5)
+            .select("q_id", "neighbor_id",
+                    F.col("rank").cast("long").alias("rank"), "cosine_r4"))
+
+
+def _q_sim_lsh(spark, sf_dir):
+    # ANN path: no closed-form SQL oracle (bucketing); rows-only check,
+    # recall vs exact top-k is asserted in tests/test_spark_operators.py
+    return (similarity.hyperplane_lsh_topk(_emb(spark, sf_dir),
+                                           _SIM_QUERY_IDS, dim=64, k=5)
+            .select("q_id", "neighbor_id",
+                    F.col("rank").cast("long").alias("rank"), "cosine_r4"))
+
+
+def _q_text_stats(spark, sf_dir):
+    s = textstats.token_stats(_docs(spark, sf_dir))
+    return s.select("doc_id",
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.col("n_chars").cast("long").alias("n_chars"),
+                    "avg_token_len",
+                    F.col("stop_x100").cast("long").alias("stop_x100"),
+                    F.col("n_subtokens").cast("long").alias("n_subtokens"))
+
+
+def _q_lang_id(spark, sf_dir):
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_docs(spark, sf_dir))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_text": _q_extract_text,
+        "extract_meta": _q_extract_meta,
+        "extract_enc_distribution": _q_extract_enc_distribution,
+        "extract_spans": _q_extract_spans,
+        "serializer_roundtrip": _q_roundtrip,
+        "resume_antijoin": _q_resume_antijoin,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_exact_extracted": _q_dedup_exact_extracted,
+        "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "similarity_topk": _q_sim_topk,
+        "similarity_ann_lsh": _q_sim_lsh,
+        "text_stats": _q_text_stats,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qids = ", ".join(str(i) for i in _SIM_QUERY_IDS)
+    stop_filter = f"list_filter(ws, x -> list_contains({_STOP_SQL}, x))"
+    return {
+        "extract_text": f"SELECT {URL_SQL} AS url, {TEXT_SQL} AS text "
+                        f"FROM documents",
+        "extract_meta": f"""
+SELECT {URL_SQL} AS url, {ENC_SQL} AS encoding,
+       {QUIRKS_SQL} AS quirks_mode, {HAS_ERRORS_SQL} AS has_errors
+FROM documents""",
+        "extract_enc_distribution": f"""
+SELECT {ENC_SQL} AS encoding, count(*) AS n_docs FROM documents GROUP BY 1""",
+        "extract_spans": f"""
+SELECT {URL_SQL} AS url, {REP_SQL}::bigint AS n_paragraphs FROM documents""",
+        "serializer_roundtrip": """
+SELECT count(*) AS n_docs, count(*) AS n_idempotent FROM documents""",
+        "resume_antijoin": f"""
+SELECT {URL_SQL} AS url FROM documents WHERE doc_id % 2 = 1""",
+        "dedup_exact": """
+SELECT min(doc_id) AS kept_doc_id, count(*) AS n_copies
+FROM documents GROUP BY text HAVING count(*) > 1""",
+        "dedup_exact_extracted": f"""
+SELECT min({URL_SQL} || '?c=0') AS kept_url, 2::bigint AS n_copies
+FROM documents GROUP BY doc_id""",
+        "dedup_jaccard": f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, inter,
+       (sa.n_grams + sb.n_grams - inter) AS union_grams
+FROM inter JOIN sizes sa ON inter.doc_a = sa.doc_id
+           JOIN sizes sb ON inter.doc_b = sb.doc_id
+WHERE 100 * inter >= 60 * (sa.n_grams + sb.n_grams - inter)""",
+        "dedup_minhash_lsh": _minhash_pairs_sql(),
+        "dedup_simhash": f"WITH {_simhash_cte()} SELECT doc_id, simhash FROM sh",
+        "dedup_simhash_pairs": f"""
+WITH {_simhash_cte()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::bigint AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 12""",
+        "similarity_topk": f"""
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id IN ({qids})),
+s AS (SELECT q.q_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS c
+      FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+r AS (SELECT q_id, neighbor_id,
+             (row_number() OVER (PARTITION BY q_id
+                                 ORDER BY c DESC, neighbor_id ASC))::bigint AS rank,
+             round(c, 4) AS cosine_r4
+      FROM s)
+SELECT q_id, neighbor_id, rank, cosine_r4 FROM r WHERE rank <= 5""",
+        "text_stats": f"""
+WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id,
+       len(ws)::bigint AS n_tokens,
+       length(text)::bigint AS n_chars,
+       round((length(text) - (len(ws) - 1)) / len(ws), 6) AS avg_token_len,
+       (100 * len({stop_filter}))::bigint AS stop_x100,
+       list_sum(list_transform(ws, t -> (length(t) + 3) // 4))::bigint
+         AS n_subtokens
+FROM w""",
+        "lang_id": f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id,
+       CASE WHEN 100 * len({stop_filter})
+                 >= {textstats.LANG_EN_THRESHOLD_PCT} * len(ws)
+            THEN 'en' ELSE 'unk' END AS lang_pred
+FROM w""",
+        "fingerprint": """
+SELECT doc_id, md5(regexp_replace(trim(text), ' +', ' ', 'g')) AS fp
+FROM documents""",
+    }

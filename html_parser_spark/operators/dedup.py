@@ -1,0 +1,170 @@
+"""Deduplication operators for training-data pipelines.
+
+Four strategies, all pure DataFrame/Catalyst (JVM-side, no Python in the
+hot path), each with a DuckDB-oracle twin in ``__spark_entry__.py``:
+
+- **exact**: hash-groupBy on the full text. One shuffle, map-side
+  partial agg; at 10^12 docs group on ``md5(text)`` (16 bytes) instead
+  of the text itself so shuffle rows stay tiny.
+- **n-gram Jaccard**: word-3-gram shingles → inverted-index self-join on
+  shingle → per-pair intersection counts → integer-arithmetic Jaccard
+  threshold. The shingle join is the scalable formulation (no O(n²)
+  cross join; candidate pairs only where shingles actually collide).
+- **MinHash + LSH**: 16 universal hashes over shingle base-hashes →
+  8 bands × 2 rows → band-bucket self-join. At scale this replaces the
+  full inverted index with O(bands × docs) shuffle rows; skewy bands
+  (e.g. boilerplate-heavy shingles) can be salted or frequency-capped
+  upstream.
+- **SimHash**: 48-bit sign-aggregated fingerprint; near-dup pairs via
+  Hamming distance on xor — here verified band-free (self-join on the
+  top band would be the at-scale index).
+
+All hashing is md5-based (``functions.hashing``) so the oracle can
+reproduce values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.hashing import (BANDS, MINHASH_A, MINHASH_B, NUM_HASHES,
+                                 P31, ROWS_PER_BAND, SIMHASH_BITS,
+                                 minhash_term, spark_base_hash)
+
+
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    """Groups of byte-identical documents: (kept_doc_id, n_copies),
+    keeping the smallest doc_id per group. Only groups with >1 copy."""
+    return (docs
+            .groupBy(F.md5(F.col("text").cast("binary")).alias("text_md5"))
+            .agg(F.min("doc_id").alias("kept_doc_id"),
+                 F.count("*").alias("n_copies"))
+            .filter(F.col("n_copies") > 1)
+            .select("kept_doc_id", "n_copies"))
+
+
+def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, gram) — distinct word n-gram shingles per document.
+    Pure Catalyst higher-order functions; no shuffle until the caller
+    aggregates."""
+    w = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(w, i, n)))
+    ).otherwise(F.array())
+    return (docs.select("doc_id", F.explode(grams).alias("gram"))
+            .distinct())
+
+
+def jaccard_pairs(docs: DataFrame, n: int = 3,
+                  min_pct: int = 60) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard ≥ min_pct/100.
+
+    Integer-only arithmetic (``100*inter >= min_pct*union``) so the
+    result is exactly reproducible by the SQL oracle. Shape: inverted
+    index join on shingle — the standard scalable plan (shuffle keyed on
+    gram; hot grams are the skew risk and would be frequency-capped at
+    10^12 docs)."""
+    g = word_shingles(docs, n)
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    a, b = g.alias("a"), g.alias("b")
+    inter = (a.join(b, (F.col("a.gram") == F.col("b.gram"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_grams").alias("nb"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("union_", F.col("na") + F.col("nb") - F.col("inter"))
+            .filter(100 * F.col("inter") >= min_pct * F.col("union_"))
+            .select("doc_a", "doc_b", "inter",
+                    F.col("union_").alias("union_grams")))
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sig_0..sig_{k-1}) MinHash signatures over word shingles.
+    Docs with < n words get sentinel P31 in every slot."""
+    g = word_shingles(docs, n)
+    h = F.expr(spark_base_hash("gram"))
+    mins = [F.min(F.expr(minhash_term(i, spark_base_hash("gram"))))
+            .alias(f"sig_{i}") for i in range(NUM_HASHES)]
+    sigs = g.groupBy("doc_id").agg(*mins)
+    # left join back so signature-less docs (too short) keep a row
+    all_ids = docs.select("doc_id")
+    filled = all_ids.join(sigs, "doc_id", "left")
+    return filled.select(
+        "doc_id",
+        *[F.coalesce(F.col(f"sig_{i}"), F.lit(P31)).alias(f"sig_{i}")
+          for i in range(NUM_HASHES)])
+
+
+def minhash_band_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
+    """LSH candidate pairs: same (band, band_key) for any of the 8
+    bands of 2 rows; returns (doc_a, doc_b, n_matching_sigs)."""
+    sigs = minhash_signatures(docs, n)
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 (F.col(f"sig_{2 * b}") * P31 + F.col(f"sig_{2 * b + 1}"))
+                 .alias("band_key"))
+        for b in range(BANDS)])
+    keyed = (sigs.select("doc_id", F.explode(bands).alias("bk"))
+             .select("doc_id", F.col("bk.band").alias("band"),
+                     F.col("bk.band_key").alias("band_key")))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    sa = sigs.alias("sa")
+    sb = sigs.alias("sb")
+    match_count = sum(
+        (F.col(f"sa.sig_{i}") == F.col(f"sb.sig_{i}")).cast("int")
+        for i in range(NUM_HASHES))
+    return (cand
+            .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+            .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+            .select("doc_a", "doc_b",
+                    match_count.alias("n_matching_sigs")))
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash) — sign-aggregated fingerprint over word
+    unigrams (counted, not distinct). 48 bits so every intermediate
+    stays positive int64 in both engines."""
+    toks = docs.select("doc_id",
+                       F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    h = F.expr(spark_base_hash("tok"))
+    bit_sums = [
+        F.sum(F.when((F.shiftright(h, i).bitwiseAND(F.lit(1))) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"b{i}")
+        for i in range(bits)]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0,
+                      F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Verified pairwise here (fine at test scale); the 10^12-doc plan
+    indexes by band (split the 48 bits into max_hamming+1 bands — by
+    pigeonhole a pair within the radius shares at least one exact band)
+    and joins band-equal candidates only."""
+    s = simhash(docs)
+    a, b = s.alias("a"), s.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .filter(ham <= max_hamming)
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    ham.alias("hamming")))

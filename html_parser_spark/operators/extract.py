@@ -32,7 +32,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from ..engine import parse, extract_text
+from ..engine import parse, extract_text, serialize
 
 EXTRACT_SCHEMA = (
     "url string, text string, "
@@ -95,3 +95,30 @@ def extract_pages(pages_df, max_html_bytes: int = 64 * 1024 * 1024,
                                       max_spans, with_spans)
 
     return pages_df.select("url", "html").mapInPandas(run, schema=EXTRACT_SCHEMA)
+
+
+def roundtrip_check(pages_df):
+    """Serializer fixpoint invariant per document:
+    ``serialize(parse(serialize(parse(html))))`` equals
+    ``serialize(parse(html))`` (WHATWG serialization is a fixpoint after
+    one parse→serialize normalization; reference surface
+    /root/reference/lib/Parser/Serializer.php:70-81).
+    Returns (url, idempotent boolean)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, ok = [], []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                raw = bytes(html) if html is not None else b""
+                try:
+                    once = serialize(parse(raw).document)
+                    twice = serialize(parse(once.encode("utf-8"),
+                                            "utf-8").document)
+                    ok.append(once == twice)
+                except Exception:
+                    ok.append(False)
+                urls.append(url)
+            yield pd.DataFrame({"url": urls, "idempotent": ok})
+
+    return pages_df.select("url", "html").mapInPandas(
+        run, schema="url string, idempotent boolean")
