@@ -23,7 +23,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from html_parser_spark.functions.hashing import (
     BANDS, NUM_HASHES, P31, SIMHASH_BITS, duckdb_base_hash, minhash_term)
-from html_parser_spark.operators import dedup, similarity, textstats
+from html_parser_spark.operators import (dedup, multimodal, similarity,
+                                          textstats)
 from html_parser_spark.operators.extract import extract_pages, roundtrip_check
 from html_parser_spark.sources.pages import pages_df
 
@@ -223,6 +224,26 @@ def _q_sim_lsh(spark, sf_dir):
                     F.col("rank").cast("long").alias("rank"), "cosine_r4"))
 
 
+def _q_multimodal_decode(spark, sf_dir):
+    """Binary media columns → decoded metadata (decode step is the
+    deterministic stub; the Spark plumbing — binary payload column,
+    Arrow batching, error isolation — is the real path)."""
+    media = multimodal.media_df_from_docs(spark, sf_dir)
+    return (multimodal.decode_media(media, fake=True)
+            .select("media_id", "kind",
+                    F.col("width").cast("long").alias("width"),
+                    F.col("height").cast("long").alias("height"),
+                    F.col("n_frames").cast("long").alias("n_frames"),
+                    "payload_bytes", "ok"))
+
+
+def _q_multimodal_frames(spark, sf_dir):
+    media = multimodal.media_df_from_docs(spark, sf_dir)
+    return (multimodal.frame_sample(media, every_n=30, fake=True)
+            .select("media_id",
+                    F.col("frame_idx").cast("long").alias("frame_idx")))
+
+
 def _q_text_stats(spark, sf_dir):
     s = textstats.token_stats(_docs(spark, sf_dir))
     return s.select("doc_id",
@@ -257,6 +278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "similarity_topk": _q_sim_topk,
         "similarity_ann_lsh": _q_sim_lsh,
+        "multimodal_decode": _q_multimodal_decode,
+        "multimodal_frame_sample": _q_multimodal_frames,
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -318,6 +341,29 @@ r AS (SELECT q_id, neighbor_id,
              round(c, 4) AS cosine_r4
       FROM s)
 SELECT q_id, neighbor_id, rank, cosine_r4 FROM r WHERE rank <= 5""",
+        "multimodal_decode": """
+WITH m AS (
+  SELECT doc_id * 2 AS media_id, 'image' AS kind,
+         (64 + (doc_id * 37) % 1985)::bigint AS width,
+         (64 + (doc_id * 91) % 1017)::bigint AS height,
+         1::bigint AS n_frames
+  FROM documents
+  UNION ALL
+  SELECT doc_id * 2 + 1, 'video',
+         (64 + (doc_id * 37) % 1985)::bigint,
+         (64 + (doc_id * 91) % 1017)::bigint,
+         (1 + doc_id % 120)::bigint
+  FROM documents WHERE doc_id % 3 = 0)
+SELECT media_id, kind, width, height, n_frames,
+       (20 + (width * height) % 4096 + 128)::bigint AS payload_bytes,
+       true AS ok
+FROM m""",
+        "multimodal_frame_sample": """
+WITH v AS (SELECT doc_id * 2 + 1 AS media_id,
+                  (1 + doc_id % 120) AS frames
+           FROM documents WHERE doc_id % 3 = 0)
+SELECT media_id, unnest(generate_series(0, frames - 1, 30))::bigint AS frame_idx
+FROM v""",
         "text_stats": f"""
 WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
 SELECT doc_id,

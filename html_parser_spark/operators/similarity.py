@@ -57,49 +57,74 @@ def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
                     "rank", F.round("cosine", 4).alias("cosine_r4")))
 
 
-def hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes: component (p, d) is an
-    md5-derived value in [-0.5, 0.5). Reproducible across runs/engines."""
+def hyperplanes(dim: int, n_planes: int, table: int = 0
+                ) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (t, p, d) is
+    an md5-derived value in [-0.5, 0.5). Reproducible across runs —
+    no RNG state to ship to executors."""
     planes = []
     for p in range(n_planes):
         row = []
         for d in range(dim):
-            v = int(hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:8],
-                    16)
+            v = int(hashlib.md5(f"plane:{table}:{p}:{d}".encode())
+                    .hexdigest()[:8], 16)
             row.append(v / float(1 << 32) - 0.5)
         planes.append(row)
     return planes
 
 
-def bucket_ids(emb: DataFrame, dim: int, n_planes: int = 8,
-               vec_col: str = "embedding") -> DataFrame:
-    """Add an LSH ``bucket`` column: sign bits against n_planes fixed
-    hyperplanes, packed into an int. Pure Catalyst arithmetic."""
-    planes = hyperplanes(dim, n_planes)
+def _bucket_expr(vec_col: str, dim: int, n_planes: int, table: int):
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     bucket = F.lit(0)
-    for p, plane in enumerate(planes):
+    for p, plane in enumerate(hyperplanes(dim, n_planes, table)):
         arr = F.array(*[F.lit(c) for c in plane])
-        dp = _dot(arr, v)
-        bucket = bucket + F.when(dp > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return emb.withColumn("bucket", bucket)
+        bucket = bucket + F.when(_dot(arr, v) > 0,
+                                 F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def bucket_keys(emb: DataFrame, dim: int, n_planes: int = 4,
+                n_tables: int = 8, vec_col: str = "embedding") -> DataFrame:
+    """Multi-table LSH keys: one (table, bucket) row per input row per
+    table. Pure Catalyst arithmetic (the sign-sketch dot products are
+    unrolled into codegen'd expressions); the explode is JVM-side."""
+    keys = F.array(*[
+        F.struct(F.lit(t).alias("table"),
+                 _bucket_expr(vec_col, dim, n_planes, t).alias("bucket"))
+        for t in range(n_tables)])
+    return (emb.withColumn("_k", F.explode(keys))
+            .withColumn("table", F.col("_k.table"))
+            .withColumn("bucket", F.col("_k.bucket"))
+            .drop("_k"))
 
 
 def hyperplane_lsh_topk(emb: DataFrame, query_ids: list[int], dim: int,
-                        k: int = 5, n_planes: int = 6,
+                        k: int = 5, n_planes: int = 4, n_tables: int = 8,
                         id_col: str = "vec_id", vec_col: str = "embedding"
                         ) -> DataFrame:
-    """ANN top-k: candidates restricted to the query's LSH bucket, exact
-    cosine rerank inside it. Recall is measured in tests against
-    ``cosine_topk``. Returns (q_id, neighbor_id, rank, cosine_r4)."""
-    bucketed = bucket_ids(emb, dim, n_planes, vec_col)
-    q = (bucketed.filter(F.col(id_col).isin(query_ids))
+    """ANN top-k via multi-table random-hyperplane LSH.
+
+    Candidates = rows sharing any (table, bucket) with the query
+    (classic L-table OR-construction — recall compounds across tables),
+    then an **exact** cosine rerank on the deduped candidate set. Tuning
+    trade: more planes/table → smaller buckets (cheaper rerank, lower
+    per-table recall); more tables → higher recall, more shuffle rows.
+    At 10^12 vectors (table, bucket) is the shuffle key and queries stay
+    broadcast. Recall vs ``cosine_topk`` is pinned in tests.
+    Returns (q_id, neighbor_id, rank, cosine_r4)."""
+    keyed = bucket_keys(emb, dim, n_planes, n_tables, vec_col)
+    q = (keyed.filter(F.col(id_col).isin(query_ids))
          .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qvec"),
+                 F.col("table").alias("q_table"),
                  F.col("bucket").alias("q_bucket")))
-    joined = bucketed.join(
+    cand = (keyed.join(
         F.broadcast(q),
-        (F.col("bucket") == F.col("q_bucket")) & (F.col(id_col) != F.col("q_id")))
-    scored = with_cosine(joined, "qvec", vec_col)
+        (F.col("table") == F.col("q_table"))
+        & (F.col("bucket") == F.col("q_bucket"))
+        & (F.col(id_col) != F.col("q_id")))
+        .select("q_id", "qvec", F.col(id_col), F.col(vec_col))
+        .dropDuplicates(["q_id", id_col]))
+    scored = with_cosine(cand, "qvec", vec_col)
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(),
                                            F.col(id_col).asc())
     return (scored.withColumn("rank", F.row_number().over(w))

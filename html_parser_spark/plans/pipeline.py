@@ -70,22 +70,30 @@ def configure(builder_or_spark=None, cpus: int | None = None,
 
 def salted_repartition(pages: DataFrame, num_partitions: int,
                        big_doc_bytes: int = BIG_DOC_BYTES,
-                       salt_buckets: int = 16) -> DataFrame:
-    """Explicit url-hash repartition with giant-document salting.
+                       giant_fanout: int = 4) -> DataFrame:
+    """Skew-aware url-hash repartition (size-class salting).
 
-    Normal docs shuffle on ``xxhash64(url)`` (stable co-location so a
-    resumed run lands urls on the same key-space); giant docs get a salt
-    in [0, salt_buckets) derived from the url hash itself (deterministic,
-    no RNG) so they spread instead of clumping.
+    For ``mapInPandas`` the unit of work is the *partition*, so the
+    straggler risk is a partition whose byte-weight (not row count) is
+    dominated by multi-MB giant documents — AQE skew handling only
+    rebalances joins/aggs, not arbitrary python stages. The fix is a
+    size-class split:
+
+    - normal docs shuffle on ``xxhash64(url, salt)`` into
+      ``num_partitions`` (uniform rows, uniform bytes);
+    - giant docs (> ``big_doc_bytes``) shuffle into
+      ``num_partitions * giant_fanout`` much finer partitions, bounding
+      giants-per-partition near one so no task carries several.
+
+    Everything is deterministic in the url (no RNG): a retried task
+    re-derives the same placement.
     """
     h = F.xxhash64("url")
-    salt = F.when(F.length("html") > big_doc_bytes,
-                  F.pmod(F.xxhash64("url", F.lit(1)), F.lit(salt_buckets))
-                  ).otherwise(F.lit(0))
-    return (pages
-            .withColumn("_salt", salt)
-            .repartition(num_partitions, h, F.col("_salt"))
-            .drop("_salt"))
+    giants = (pages.filter(F.length("html") > big_doc_bytes)
+              .repartition(num_partitions * giant_fanout, h))
+    normal = (pages.filter(F.length("html") <= big_doc_bytes)
+              .repartition(num_partitions, h))
+    return normal.unionByName(giants)
 
 
 def resume_filter(pages: DataFrame, output_path: str) -> DataFrame:
