@@ -31,19 +31,40 @@ from html_parser_spark.sources.pages import pages_df
 # ---------------------------------------------------------------- oracle
 # SQL fragments mirroring sources/pages.py (keep in lockstep!)
 
+from html_parser_spark.sources.pages import EXTRAS, REPORTED_ENCODING
+
+
+def _sql_str(s: str) -> str:
+    """DuckDB string literal for a Python string (newlines via chr(10))."""
+    if s == "":
+        return "''"
+    parts = []
+    for chunk in s.split("\n"):
+        parts.append("'" + chunk.replace("'", "''") + "'")
+    return "(" + " || chr(10) || ".join(parts) + ")"
+
+
 URL_SQL = ("('https://example.org/' || source || '/doc' || "
            "lpad(doc_id::varchar, 8, '0') || '.html')")
-REP_SQL = ("(CASE WHEN doc_id % 97 = 0 THEN 50 "
+REP_SQL = ("(CASE WHEN doc_id % 997 = 0 THEN 8000 "
+           "WHEN doc_id % 97 = 0 THEN 2000 "
            "WHEN doc_id % 13 = 0 THEN 8 ELSE 1 END)")
+_EXTRA_TEXT_SQL = ("(CASE doc_id % 23 " + " ".join(
+    f"WHEN {k} THEN chr(10) || {_sql_str(v[1])}"
+    for k, v in sorted(EXTRAS.items())) + " ELSE '' END)")
 TEXT_SQL = (f"('Doc ' || doc_id || chr(10) || "
             f"repeat(text || chr(10), {REP_SQL} - 1) || text || chr(10) || "
-            f"'src=' || source || '&lang=' || lang)")
-ENC_SQL = ("(CASE doc_id % 8 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8' "
-           "WHEN 2 THEN 'windows-1252' WHEN 3 THEN 'utf-16le' "
-           "WHEN 4 THEN 'windows-1252' WHEN 5 THEN 'windows-1252' "
-           "WHEN 6 THEN 'utf-8' ELSE 'utf-16be' END)")
+            f"'src=' || source || '&lang=' || lang || {_EXTRA_TEXT_SQL})")
+ENC_SQL = ("(CASE doc_id % 10 " + " ".join(
+    f"WHEN {i} THEN '{e}'" for i, e in enumerate(REPORTED_ENCODING))
+    + " END)")
 QUIRKS_SQL = "(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END)::bigint"
-HAS_ERRORS_SQL = "(doc_id % 11 = 0 OR doc_id % 7 = 3)"
+_ERR_BUCKETS = ", ".join(str(k) for k, v in sorted(EXTRAS.items()) if v[2])
+HAS_ERRORS_SQL = (f"(doc_id % 11 = 0 OR doc_id % 7 = 3 "
+                  f"OR doc_id % 23 IN ({_ERR_BUCKETS}))")
+# extras bucket 3 contributes one extra <p> element
+N_PARAGRAPHS_SQL = (f"({REP_SQL} + CASE WHEN doc_id % 23 = 3 "
+                    f"THEN 1 ELSE 0 END)::bigint")
 
 _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in textstats.STOPWORDS) + "]"
 
@@ -145,7 +166,9 @@ def _q_extract_enc_distribution(spark, sf_dir):
 
 
 def _q_extract_spans(spark, sf_dir):
-    out = extract_pages(pages_df(spark, sf_dir))
+    # giant docs (rep 8000 × 3 elements/paragraph) exceed the default
+    # production span cap; lift it so the count oracle is exact
+    out = extract_pages(pages_df(spark, sf_dir), max_spans=100_000)
     n_p = F.size(F.filter(F.col("spans"), lambda s: s["tag"] == F.lit("p")))
     return out.select("url", n_p.cast("long").alias("n_paragraphs"))
 
@@ -299,7 +322,7 @@ FROM documents""",
         "extract_enc_distribution": f"""
 SELECT {ENC_SQL} AS encoding, count(*) AS n_docs FROM documents GROUP BY 1""",
         "extract_spans": f"""
-SELECT {URL_SQL} AS url, {REP_SQL}::bigint AS n_paragraphs FROM documents""",
+SELECT {URL_SQL} AS url, {N_PARAGRAPHS_SQL} AS n_paragraphs FROM documents""",
         "serializer_roundtrip": """
 SELECT count(*) AS n_docs, count(*) AS n_idempotent FROM documents""",
         "resume_antijoin": f"""

@@ -41,11 +41,12 @@ import pandas as pd
 PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                 "text string, lang string")
 
-# encoding variants keyed on doc_id % 8: (label-for-meta, python-codec,
-# bom, has_meta).  All generated text is ASCII, so every variant decodes
-# to identical code points; what differs is which rung of the sniff
-# ladder (parity /root/reference/lib/Parser/Data.php:59-95) fires and
-# which canonical encoding name the parse reports.
+# encoding variants keyed on doc_id % 10: (label-for-meta, python-codec,
+# bom, has_meta).  All generated text is ASCII-or-cp1252-safe and every
+# chosen codec is ASCII-compatible for it, so every variant decodes to
+# identical code points; what differs is which rung of the sniff ladder
+# (parity /root/reference/lib/Parser/Data.php:59-95) fires and which
+# canonical encoding name the parse reports.
 _ENC_VARIANTS = [
     ("utf-8", "utf-8", b"", True),           # 0: meta prescan hit
     (None, "utf-8", b"\xef\xbb\xbf", False),  # 1: UTF-8 BOM
@@ -55,11 +56,44 @@ _ENC_VARIANTS = [
     ("iso-8859-1", "cp1252", b"", True),      # 5: label alias → windows-1252
     ("late", "utf-8", b"", False),            # 6: meta AFTER 1024B → relabel
     (None, "utf-16-be", b"\xfe\xff", False),  # 7: UTF-16BE BOM
+    ("shift_jis", "shift_jis", b"", True),    # 8: CJK label (ASCII payload)
+    ("euc-kr", "euc_kr", b"", True),          # 9: CJK label (ASCII payload)
 ]
 
 # what Charset.sniff + parse will *report* per variant (oracle mirror)
 REPORTED_ENCODING = ["utf-8", "utf-8", "windows-1252", "utf-16le",
-                     "windows-1252", "windows-1252", "utf-8", "utf-16be"]
+                     "windows-1252", "windows-1252", "utf-8", "utf-16be",
+                     "shift_jis", "euc-kr"]
+
+# "extras" buckets keyed on doc_id % 23 (FIXTURES.md §1 content mix):
+# (markup appended before </body>, exact textContent contribution,
+#  parse emits errors?). The contribution constants are pinned by
+# tests/test_spark_operators.py against the real parse — single source
+# of truth for both the golden `text` column and the DuckDB oracle.
+EXTRAS = {
+    # foster parenting: stray text in a table is reparented BEFORE the
+    # table (reference TreeConstructor.php:2279-2312,3666-3750)
+    1: ("<div><table><tbody><tr><td>cellA</td><td>cellB</td></tr>"
+        "STRAY</tbody></table></div>",
+        "STRAYcellAcellB", True),
+    # rawtext/RCDATA: pre/textarea leading-LF skip, script-data states,
+    # style rawtext (reference TreeConstructor.php:500-524,833-838)
+    2: ("<pre>\nL1\nL2</pre><textarea>\nTA</textarea>"
+        "<script>var s=\"<b>x</b>\";</script><style>p{color:red}</style>",
+        "L1\nL2TAvar s=\"<b>x</b>\";p{color:red}", False),
+    # character references: named ± semicolon (legacy), numeric dec/hex,
+    # C1 remap 0x80→U+20AC (reference Tokenizer.php:3356-3699)
+    3: ("<p>&copy;&#169;&#xa9; &eacute;&#233; &#x80; &AMP&ampx &quot;</p>",
+        "©©© éé € &&x \"", True),
+    # foreign content: svg/math, CDATA literal text, self-closing
+    # foreign element (reference TreeConstructor.php:3250-3449)
+    4: ('<svg viewBox="0 0 1 1"><title>SVGT</title><![CDATA[CD&TA]]>'
+        "<circle/></svg><math><mi>m</mi></math>",
+        "SVGTCD&TAm", False),
+    # comments / PI-as-bogus-comment / bogus doctype-ish markup: no text
+    # (reference Tokenizer.php:2005-2399)
+    5: ("<!--note--><?pi data?><!bogus>", "", True),
+}
 
 _PAD = "x" * 1100  # pushes variant-6 meta past the 1024-byte prescan window
 
@@ -69,9 +103,13 @@ def _escape(s: str) -> str:
 
 
 def rep_factor(doc_id: int) -> int:
-    """Giant-document skew factor (mirrored in oracle SQL)."""
+    """Giant-document skew factor (mirrored in oracle SQL): every 997th
+    doc ~MBs (the 1% skew tail of FIXTURES.md §1), every 97th ~0.5 MB,
+    every 13th mildly fat."""
+    if doc_id % 997 == 0:
+        return 8000
     if doc_id % 97 == 0:
-        return 50
+        return 2000
     if doc_id % 13 == 0:
         return 8
     return 1
@@ -98,17 +136,30 @@ def _paragraph(doc_id: int, text: str) -> str:
 
 
 def expected_text(doc_id: int, text: str, lang: str, source: str) -> str:
-    """Golden body.textContent — kept in lockstep with oracle SQL in
-    __spark_entry__.py (EXPECTED_TEXT_SQL)."""
+    """Golden body.textContent — kept in lockstep with the oracle SQL in
+    __spark_entry__.py (built from the same EXTRAS constants)."""
     rep = rep_factor(doc_id)
     body = "\n".join([text] * rep)
-    return f"Doc {doc_id}\n{body}\nsrc={source}&lang={lang}"
+    base = f"Doc {doc_id}\n{body}\nsrc={source}&lang={lang}"
+    extra = EXTRAS.get(doc_id % 23)
+    if extra is not None:
+        base += "\n" + extra[1]
+    return base
+
+
+def has_parse_errors(doc_id: int) -> bool:
+    """Which docs the parse reports errors for (oracle mirror): missing
+    doctype (quirks), misnested formatting, or an error-carrying extras
+    bucket."""
+    extra = EXTRAS.get(doc_id % 23)
+    return (doc_id % 11 == 0 or doc_id % 7 == 3
+            or (extra is not None and extra[2]))
 
 
 def build_page(doc_id: int, text: str, lang: str, source: str
                ) -> tuple[str, pd.Timestamp, bytes, str, str]:
     """Pure function: one documents row -> one pages row."""
-    variant = doc_id % 8
+    variant = doc_id % 10
     label, codec, bom, has_meta = _ENC_VARIANTS[variant]
     rep = rep_factor(doc_id)
 
@@ -127,10 +178,12 @@ def build_page(doc_id: int, text: str, lang: str, source: str
         head_parts.append('<meta charset="utf-8">')
     head_parts.append("</head>")
 
-    paras = "\n".join(_paragraph(doc_id, text) for _ in range(rep))
+    paras = "\n".join([_paragraph(doc_id, text)] * rep)
+    extra = EXTRAS.get(doc_id % 23)
+    extra_markup = ("\n" + extra[0]) if extra is not None else ""
     body = (f"<body><h1>Doc {doc_id}</h1>\n{paras}\n"
             f"<footer>src={_escape(source)}&amp;lang={_escape(lang)}</footer>"
-            f"</body></html>")
+            f"{extra_markup}</body></html>")
     html = bom + ("".join(head_parts) + body).encode(codec)
 
     url = f"https://example.org/{source}/doc{doc_id:08d}.html"
