@@ -23,8 +23,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from html_parser_spark.functions.hashing import (
     BANDS, NUM_HASHES, P31, SIMHASH_BITS, duckdb_base_hash, minhash_term)
-from html_parser_spark.operators import (dedup, multimodal, similarity,
-                                          textstats)
+from html_parser_spark.operators import (conformance, dedup, multimodal,
+                                          similarity, textstats)
 from html_parser_spark.operators.extract import extract_pages, roundtrip_check
 from html_parser_spark.sources.pages import pages_df
 
@@ -247,6 +247,18 @@ def _q_sim_lsh(spark, sf_dir):
                     F.col("rank").cast("long").alias("rank"), "cosine_r4"))
 
 
+def _q_conformance(spark, sf_dir):
+    """html5lib-format conformance suites distributed through the same
+    engine the extraction UDF ships. No SQL oracle (the case corpus
+    isn't one of the driver's DuckDB views); 100%-pass is asserted by
+    tests/test_engine_conformance.py on identical fixtures."""
+    res = conformance.conformance_results(spark)
+    return (res.groupBy("kind")
+            .agg(F.count("*").alias("n_cases"),
+                 F.sum(F.col("passed").cast("long")).alias("n_passed"))
+            .orderBy("kind"))
+
+
 def _q_multimodal_decode(spark, sf_dir):
     """Binary media columns → decoded metadata (decode step is the
     deterministic stub; the Spark plumbing — binary payload column,
@@ -301,6 +313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "similarity_topk": _q_sim_topk,
         "similarity_ann_lsh": _q_sim_lsh,
+        "conformance_pass_rate": _q_conformance,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_frame_sample": _q_multimodal_frames,
         "text_stats": _q_text_stats,

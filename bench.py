@@ -1,0 +1,118 @@
+"""Benchmark harness: headline extraction throughput + representative
+operator timings.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+  BENCH_COPIES        corpus scale-up: distinct-url copies per doc (default 4)
+
+Methodology: the pages corpus is synthesized deterministically from
+documents.parquet and **staged to parquet first**, so the measured
+extraction pass is scan → skew-aware repartition → mapInPandas parse →
+parquet write, exactly the production job shape (synthesis excluded).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from html_parser_spark.plans.pipeline import configure, run_extraction  # noqa: E402
+from html_parser_spark.sources.pages import pages_df  # noqa: E402
+
+
+def _noop(df) -> None:
+    """Force full computation without collecting to the driver."""
+    df.write.mode("overwrite").format("noop").save()
+
+
+def time_query(fn, *args) -> float:
+    t0 = time.monotonic()
+    _noop(fn(*args))
+    return round(time.monotonic() - t0, 3)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    copies = int(os.environ.get("BENCH_COPIES", "4"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) \
+        if "sf" in sf_dir else -1.0
+
+    spark = configure(cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="hps_bench_")
+    queries: dict[str, float] = {}
+    try:
+        # ---- stage the corpus (excluded from the measured pass)
+        staged = f"{tmp}/pages"
+        pages_df(spark, sf_dir, copies=copies).repartition(cpus * 2) \
+            .write.parquet(staged)
+        pages = spark.read.parquet(staged)
+        stats = pages.agg(
+            F.count("*").alias("docs"),
+            F.sum(F.length("html")).alias("bytes")).collect()[0]
+        n_docs, n_bytes = stats["docs"], int(stats["bytes"])
+
+        # ---- warmup: spawn/warm the Python workers on a 5% slice so the
+        # headline measures steady-state throughput (a long-running
+        # cluster's workers are warm), then the timed full job
+        from html_parser_spark.operators.extract import extract_pages
+        from html_parser_spark.plans.pipeline import skew_isolate
+        warm = pages.filter(F.crc32(F.col("url")) % 20 == 0)
+        _noop(extract_pages(skew_isolate(warm, cpus * 2),
+                            with_spans=False))
+
+        # ---- headline: full extraction job (scan→repartition→parse→write)
+        t0 = time.monotonic()
+        run_extraction(spark, pages, f"{tmp}/out", resume=False,
+                       with_spans=False)
+        wall = time.monotonic() - t0
+        queries["extract_full_job"] = round(wall, 3)
+
+        # ---- representative operator timings at the raw sf tables
+        import __spark_entry__ as e
+        qmap = e.queries()
+        for name in ("dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+                     "similarity_topk", "similarity_ann_lsh", "text_stats",
+                     "lang_id", "fingerprint", "multimodal_decode"):
+            queries[name] = time_query(qmap[name], spark, sf_dir)
+        # jaccard is O(pairs) on a tiny shared vocabulary — bench a slice
+        docs1k = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                  .filter(F.col("doc_id") < 1000))
+        from html_parser_spark.operators.dedup import jaccard_pairs
+        queries["dedup_jaccard_1k"] = time_query(
+            lambda *_: jaccard_pairs(docs1k), None)
+
+        out = {
+            "metric": "extract_wall_sec",
+            "value": round(wall, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            "docs": n_docs,
+            "html_mb": round(n_bytes / 1e6, 1),
+            "docs_per_sec": round(n_docs / wall, 1),
+            "mb_per_sec": round(n_bytes / 1e6 / wall, 2),
+            "cpus": cpus,
+            "copies": copies,
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -249,6 +249,12 @@ class Tokenizer:
                 yield from self._rcdata_rawtext(rcdata=False)
             elif state == SCRIPT_DATA:
                 yield from self._script_data()
+            elif state == CDATA_SECTION:
+                # initial-state support (html5lib tokenizer suites start
+                # here); inline CDATA inside foreign content is handled
+                # at the markup-declaration-open site
+                yield from self._cdata_section()
+                self.state = DATA
             elif state == PLAINTEXT:
                 text = s[pos:].replace("\x00", "�")
                 for _ in range(s.count("\x00", pos)):

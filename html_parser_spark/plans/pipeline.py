@@ -62,6 +62,15 @@ def configure(builder_or_spark=None, cpus: int | None = None,
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
             .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                     str(arrow_batch))
+            # html cells are KB-MB and the per-byte python parse cost is
+            # ~100× a columnar scan's, so the default 128 MB splits leave
+            # the scan/shuffle-map stage under-parallelized: a 16 MB split
+            # still amortizes parquet open cost but keeps every core busy
+            .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+            # v2 committer: task-side renames, O(1) driver-side job commit
+            # (v1's serial driver rename of hundreds of task files becomes
+            # the scaling bottleneck once the parse itself is fast)
+            .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
             .config("spark.python.worker.reuse", "true")
             .config("spark.driver.memory",
                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -96,6 +105,30 @@ def salted_repartition(pages: DataFrame, num_partitions: int,
     return normal.unionByName(giants)
 
 
+def skew_isolate(pages: DataFrame, giant_partitions: int,
+                 big_doc_bytes: int = BIG_DOC_BYTES) -> DataFrame:
+    """Shuffle only the skew tail (the default plan).
+
+    Normal documents stay on their scan splits — with
+    ``files.maxPartitionBytes`` at 16 MB the per-task byte-weight is
+    already bounded, and an embarrassingly-parallel parse needs no
+    co-location — so <1% of corpus bytes move. Giant documents (the
+    straggler risk: several multi-MB docs clumped in one split) get
+    their own fine-grained partitions, ~1 doc each, via a deterministic
+    url-hash shuffle. At 100 TB this is the difference between
+    shuffling 100 TB and shuffling <1 TB.
+
+    Costs one extra scan of the source (two filters); scans are cheap
+    relative to the parse, and on Iceberg the giant side could instead
+    be planned from file/row-group size metadata without a second pass.
+    """
+    h = F.xxhash64("url")
+    giants = (pages.filter(F.length("html") > big_doc_bytes)
+              .repartition(giant_partitions, h))
+    normal = pages.filter(F.length("html") <= big_doc_bytes)
+    return normal.unionByName(giants)
+
+
 def resume_filter(pages: DataFrame, output_path: str) -> DataFrame:
     """Drop documents whose url is already committed at output_path
     (checkpoint resume — snapshot-based, not streaming)."""
@@ -109,14 +142,24 @@ def resume_filter(pages: DataFrame, output_path: str) -> DataFrame:
 
 def run_extraction(spark: SparkSession, pages: DataFrame, output_path: str,
                    num_partitions: int | None = None, resume: bool = True,
-                   with_spans: bool = True) -> dict:
-    """End-to-end job: resume-filter → salted repartition → extract →
-    atomic append → run report. Returns the report dict."""
+                   with_spans: bool = True, plan: str = "isolate") -> dict:
+    """End-to-end job: resume-filter → skew-aware partitioning →
+    extract → atomic append → run report. Returns the report dict.
+
+    ``plan``: "isolate" (default — shuffle only giant docs),
+    "full" (url-hash repartition of everything + giant fanout, for when
+    downstream wants url co-location), or "none" (trust scan splits).
+    """
     if resume:
         pages = resume_filter(pages, output_path)
     parts = num_partitions or spark.sparkContext.defaultParallelism * 2
-    result = extract_pages(salted_repartition(pages, parts),
-                           with_spans=with_spans)
+    if plan == "full":
+        parted = salted_repartition(pages, parts)
+    elif plan == "none":
+        parted = pages
+    else:
+        parted = skew_isolate(pages, parts)
+    result = extract_pages(parted, with_spans=with_spans)
     t0 = time.monotonic()
     result.write.mode("append").parquet(output_path)
     wall = time.monotonic() - t0

@@ -1,164 +1,9 @@
-"""Loaders + runners for the html5lib-tests corpus formats.
+"""Shim: the conformance loaders/runners moved into the package so the
+Spark-side conformance operator can reuse them (html_parser_spark/
+conformance.py). Test modules keep importing from here."""
 
-The public html5lib-tests repo is not vendored here (no network in the
-sandbox); tests/fixtures/ carries fixture files authored for this project
-in the same public formats, covering every bucket of FIXTURES.md §1:
-
-- tokenizer ``.test`` (JSON):  {"tests": [{description, input, output,
-  initialStates?, lastStartTag?, doubleEscaped?}]}
-- tree-construction ``.dat``:  #data / #errors / #document-fragment? / #document
-- encoding ``.dat``:           #data / #encoding
-"""
-
-from __future__ import annotations
-
-import json
-import os
-
-from html_parser_spark.engine import parse, parse_fragment
-from html_parser_spark.engine import tokenizer as tz
-from html_parser_spark.engine.dom import to_test_tree
-
-FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
-
-_STATE_MAP = {
-    "Data state": tz.DATA,
-    "RCDATA state": tz.RCDATA,
-    "RAWTEXT state": tz.RAWTEXT,
-    "Script data state": tz.SCRIPT_DATA,
-    "PLAINTEXT state": tz.PLAINTEXT,
-    "CDATA section state": tz.CDATA_SECTION,
-}
-
-
-def _unescape_double(obj):
-    """html5lib doubleEscaped handling: \\uXXXX sequences are re-decoded."""
-    if isinstance(obj, str):
-        return json.loads('"' + obj.replace('"', '\\"') + '"')
-    if isinstance(obj, list):
-        return [_unescape_double(x) for x in obj]
-    if isinstance(obj, dict):
-        return {k: _unescape_double(v) for k, v in obj.items()}
-    return obj
-
-
-def load_tokenizer_cases(path: str):
-    with open(path, encoding="utf-8") as f:
-        data = json.load(f)
-    cases = []
-    for i, case in enumerate(data.get("tests", [])):
-        if case.get("doubleEscaped"):
-            case = dict(case)
-            case["input"] = _unescape_double(case["input"])
-            case["output"] = _unescape_double(case["output"])
-        for state in case.get("initialStates", ["Data state"]):
-            cases.append((f"{os.path.basename(path)}:{i}:{state}", case, _STATE_MAP[state]))
-    return cases
-
-
-def run_tokenizer_case(case: dict, state: int):
-    """Returns (actual_output, expected_output) in html5lib output format,
-    with adjacent character tokens merged on both sides."""
-    t = tz.Tokenizer(case["input"], initial_state=state,
-                     last_start_tag=case.get("lastStartTag"))
-    out = []
-    for token in t.tokenize():
-        kind = token[0]
-        if kind == tz.CHARS:
-            out.append(["Character", token[1]])
-        elif kind == tz.NULLS:
-            out.append(["Character", "\x00" * token[1]])
-        elif kind == tz.START:
-            tok = ["StartTag", token[1], dict(token[2])]
-            if token[3]:
-                tok.append(True)
-            out.append(tok)
-        elif kind == tz.END:
-            out.append(["EndTag", token[1]])
-        elif kind == tz.COMMENT:
-            out.append(["Comment", token[1]])
-        elif kind == tz.DOCTYPE:
-            out.append(["DOCTYPE", token[1], token[2], token[3], not token[4]])
-    return _merge_chars(out), _merge_chars(case["output"])
-
-
-def _merge_chars(tokens):
-    merged = []
-    for tok in tokens:
-        if tok[0] == "Character" and merged and merged[-1][0] == "Character":
-            merged[-1] = ["Character", merged[-1][1] + tok[1]]
-        else:
-            merged.append(list(tok))
-    return merged
-
-
-def load_dat_cases(path: str, keys: tuple[str, ...]):
-    """Generic #key-sectioned .dat parser; returns list of dicts."""
-    with open(path, "rb") as f:
-        raw = f.read()
-    cases = []
-    current: dict | None = None
-    key = None
-    for line in raw.split(b"\n"):
-        if line.startswith(b"#") and line[1:].decode("ascii", "ignore") in keys:
-            k = line[1:].decode("ascii")
-            if k == keys[0]:
-                if current is not None:
-                    cases.append(current)
-                current = {}
-            key = k
-            current.setdefault(key, [])
-        elif current is not None and key is not None:
-            current[key].append(line)
-    if current is not None:
-        cases.append(current)
-    out = []
-    for c in cases:
-        out.append({k: b"\n".join(v) for k, v in c.items()})
-    return out
-
-
-def load_tree_cases(path: str):
-    cases = load_dat_cases(
-        path, ("data", "errors", "new-errors", "document-fragment", "document",
-               "script-on", "script-off"))
-    result = []
-    for i, c in enumerate(cases):
-        if "data" not in c or "document" not in c:
-            continue
-        result.append({
-            "case_id": f"{os.path.basename(path)}:{i}",
-            "input": c["data"].decode("utf-8"),
-            "fragment": c.get("document-fragment", b"").decode("utf-8").strip() or None,
-            "expected": c["document"].decode("utf-8").rstrip("\n"),
-            "n_errors": len([l for l in c.get("errors", b"").split(b"\n") if l.strip()]),
-        })
-    return result
-
-
-def run_tree_case(case: dict) -> tuple[str, str]:
-    if case["fragment"]:
-        frag = parse_fragment(case["input"], case["fragment"])
-        actual = to_test_tree(frag)
-    else:
-        out = parse(case["input"])
-        actual = to_test_tree(out.document)
-    return actual, case["expected"]
-
-
-def load_encoding_cases(path: str):
-    cases = load_dat_cases(path, ("data", "encoding"))
-    return [
-        {"case_id": f"{os.path.basename(path)}:{i}",
-         "input": c["data"],
-         "expected": c["encoding"].decode("ascii").strip().lower()}
-        for i, c in enumerate(cases) if "data" in c and "encoding" in c
-    ]
-
-
-def iter_fixture_files(subdir: str, suffix: str):
-    d = os.path.join(FIXTURES, subdir)
-    if not os.path.isdir(d):
-        return []
-    return sorted(
-        os.path.join(d, f) for f in os.listdir(d) if f.endswith(suffix))
+from html_parser_spark.conformance import *  # noqa: F401,F403
+from html_parser_spark.conformance import (  # noqa: F401
+    FIXTURES, _merge_chars, _unescape_double, iter_fixture_files,
+    load_dat_cases, load_encoding_cases, load_tokenizer_cases,
+    load_tree_cases, run_tokenizer_case, run_tree_case)
