@@ -62,6 +62,16 @@ QUIRKS_SQL = "(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END)::bigint"
 _ERR_BUCKETS = ", ".join(str(k) for k, v in sorted(EXTRAS.items()) if v[2])
 HAS_ERRORS_SQL = (f"(doc_id % 11 = 0 OR doc_id % 7 = 3 "
                   f"OR doc_id % 23 IN ({_ERR_BUCKETS}))")
+# exact parse-error count, empirically pinned per content bucket:
+# quirks doctype → 1; misnested formatting → 1 per paragraph (× rep);
+# extras buckets: foster-stray 1, charrefs 3 (two legacy-no-semicolon +
+# one C1 control ref), bogus-comment/PI 2
+N_ERRORS_SQL = f"""(
+  (CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END)
+  + (CASE WHEN doc_id % 7 = 3
+          AND len(string_split(text, ' ')) >= 3 THEN {REP_SQL} ELSE 0 END)
+  + (CASE doc_id % 23 WHEN 1 THEN 1 WHEN 3 THEN 3 WHEN 5 THEN 2 ELSE 0 END)
+)::bigint"""
 # extras bucket 3 contributes one extra <p> element
 N_PARAGRAPHS_SQL = (f"({REP_SQL} + CASE WHEN doc_id % 23 = 3 "
                     f"THEN 1 ELSE 0 END)::bigint")
@@ -156,7 +166,8 @@ def _q_extract_meta(spark, sf_dir):
             .select("url",
                     "encoding",
                     F.col("quirks_mode").cast("long").alias("quirks_mode"),
-                    (F.col("n_errors") > 0).alias("has_errors")))
+                    (F.col("n_errors") > 0).alias("has_errors"),
+                    F.col("n_errors").alias("n_errors")))
 
 
 def _q_extract_enc_distribution(spark, sf_dir):
@@ -330,7 +341,8 @@ def oracle_sql() -> dict[str, str]:
                         f"FROM documents",
         "extract_meta": f"""
 SELECT {URL_SQL} AS url, {ENC_SQL} AS encoding,
-       {QUIRKS_SQL} AS quirks_mode, {HAS_ERRORS_SQL} AS has_errors
+       {QUIRKS_SQL} AS quirks_mode, {HAS_ERRORS_SQL} AS has_errors,
+       {N_ERRORS_SQL} AS n_errors
 FROM documents""",
         "extract_enc_distribution": f"""
 SELECT {ENC_SQL} AS encoding, count(*) AS n_docs FROM documents GROUP BY 1""",
