@@ -92,7 +92,10 @@ class Element(ParentNode):
     __slots__ = ("name", "namespace", "attrs", "content")
 
     def __init__(self, name: str, namespace: str = HTML_NS, attrs: dict | None = None) -> None:
-        super().__init__()
+        # fields inlined (no super() chain): Element construction is one
+        # of the hottest allocation sites in the parse
+        self.parent = None
+        self.children = []
         self.name = name
         self.namespace = namespace
         self.attrs: dict = attrs if attrs is not None else {}
@@ -100,9 +103,10 @@ class Element(ParentNode):
         # (WHATWG "template contents"; the reference flattens them due to a
         # PHP limitation, /root/reference/README.md:216 — we implement the
         # spec model).
-        self.content: DocumentFragment | None = None
         if name == "template" and namespace == HTML_NS:
-            self.content = DocumentFragment()
+            self.content: DocumentFragment | None = DocumentFragment()
+        else:
+            self.content = None
 
     def get(self, name: str, default=None):
         return self.attrs.get(name, default)

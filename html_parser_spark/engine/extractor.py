@@ -38,6 +38,13 @@ def text_content(node) -> str:
     return "".join(parts)
 
 
+def extract_body_text(doc: Document) -> str:
+    """Fast path: body.textContent only, no span bookkeeping (used by
+    the production no-spans job). Identical text to extract_text()[0]."""
+    body = find_body(doc)
+    return text_content(body) if body is not None else ""
+
+
 def extract_text(doc: Document, max_spans: int = 10_000):
     """Returns (text, spans) where ``text`` is body.textContent and
     ``spans`` is a list of (path, tag, start, end) char-offset tuples, one

@@ -315,6 +315,19 @@ class Tokenizer:
         None (EOF-in-tag emits nothing, per spec)."""
         s, n = self.s, self.n
         m = _TAGNAME_RUN.match(s, self.pos)
+        # fast path: bare `<name>` / `</name>` (the dominant shape in
+        # real html) — no attrs, no solidus, no NUL
+        if m is not None:
+            e = m.end()
+            if e < n and s[e] == ">":
+                raw = m.group()
+                if "\x00" not in raw:
+                    self.pos = e + 1
+                    name = _lower(raw)
+                    if end_tag:
+                        return (END, name)
+                    self.last_start_tag = name
+                    return (START, name, {}, False)
         raw = m.group() if m else ""
         self.pos = m.end() if m else self.pos
         name = _lower(raw)

@@ -336,6 +336,21 @@ class TreeBuilder:
         return parent, before
 
     def insert_text(self, data: str, override: Element | None = None) -> None:
+        # fast path: no foster parenting pending (the overwhelming case)
+        if not self.foster and override is None:
+            parent = self.stack[-1] if self.stack else None
+            if parent is None:
+                return
+            if (parent.namespace == HTML_NS and parent.name == "template"
+                    and parent.content is not None):
+                parent = parent.content
+            children = parent.children
+            prev = children[-1] if children else None
+            if type(prev) is Text:
+                prev.data += data
+            else:
+                parent.append(Text(data))
+            return
         parent, before = self.appropriate_place(override)
         if isinstance(parent, Document):
             return  # text is never inserted into the document itself
@@ -365,8 +380,16 @@ class TreeBuilder:
     def insert_element(self, name: str, attrs: dict, namespace: str = HTML_NS,
                        push: bool = True) -> Element:
         el = self.create_element(name, attrs, namespace)
-        parent, before = self.appropriate_place()
-        parent.insert_before(el, before)
+        if not self.foster:  # fast path mirrors insert_text's
+            parent = self.stack[-1] if self.stack else self.doc
+            if (isinstance(parent, Element) and parent.namespace == HTML_NS
+                    and parent.name == "template"
+                    and parent.content is not None):
+                parent = parent.content
+            parent.append(el)
+        else:
+            parent, before = self.appropriate_place()
+            parent.insert_before(el, before)
         if push:
             self.stack.append(el)
         return el
@@ -557,17 +580,24 @@ class TreeBuilder:
                     return
                 token = (CHARS, data)
         guard = 0
+        stack = self.stack
         while True:
             guard += 1
             if guard > 100:
                 raise AssertionError("token reprocess loop did not converge")
-            acn = self.adjusted_current_node()
-            kind = token[0]
-            if (acn is None or acn.namespace == HTML_NS or kind == EOF
-                    or self._foreign_takes_html_rules(acn, token)):
+            # fast path: current node is an HTML element and no fragment
+            # context override applies → HTML rules, skip foreign checks
+            if (stack and stack[-1].namespace == HTML_NS
+                    and (self.fragment_context is None or len(stack) > 1)):
                 again = self._process_html(token)
             else:
-                again = self._process_foreign(token)
+                acn = self.adjusted_current_node()
+                kind = token[0]
+                if (acn is None or acn.namespace == HTML_NS or kind == EOF
+                        or self._foreign_takes_html_rules(acn, token)):
+                    again = self._process_html(token)
+                else:
+                    again = self._process_foreign(token)
             if again is None:
                 return
             token = again

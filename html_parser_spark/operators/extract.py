@@ -33,6 +33,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from ..engine import parse, extract_text, serialize
+from ..engine.extractor import extract_body_text
 
 EXTRACT_SCHEMA = (
     "url string, text string, "
@@ -55,7 +56,10 @@ def parse_extract_batch(pdf: pd.DataFrame, part_id: int, batch_seq: int,
             raw, truncated = raw[:max_html_bytes], True
         try:
             o = parse(raw)
-            text, spans = extract_text(o.document, max_spans=max_spans)
+            if with_spans:
+                text, spans = extract_text(o.document, max_spans=max_spans)
+            else:
+                text, spans = extract_body_text(o.document), []
             enc, quirks, nerr = o.encoding, o.quirks_mode, len(o.errors)
         except Exception:  # never fail the task for one bad document
             text, spans, enc, quirks, nerr = "", [], "error", 0, -1
