@@ -72,6 +72,18 @@ N_ERRORS_SQL = f"""(
           AND len(string_split(text, ' ')) >= 3 THEN {REP_SQL} ELSE 0 END)
   + (CASE doc_id % 23 WHEN 1 THEN 1 WHEN 3 THEN 3 WHEN 5 THEN 2 ELSE 0 END)
 )::bigint"""
+# exact tree-builder element counter: 6 fixed elements (html head title
+# body h1 footer) + meta (encoding variants that declare one) + extras
+# bucket elements + per-paragraph cost × rep (misnest paragraph = p+b+i
+# + 1 adoption-agency clone = 4; nested-formatting = p+b+em = 3; else 1)
+N_ELEMENTS_SQL = f"""(
+  6 + (CASE WHEN doc_id % 10 IN (0, 2, 5, 6, 8, 9) THEN 1 ELSE 0 END)
+  + (CASE doc_id % 23 WHEN 1 THEN 6 WHEN 2 THEN 4 WHEN 3 THEN 1
+          WHEN 4 THEN 5 ELSE 0 END)
+  + (CASE WHEN doc_id % 7 = 3 AND len(string_split(text, ' ')) >= 3 THEN 4
+          WHEN doc_id % 5 = 0 AND len(string_split(text, ' ')) >= 3 THEN 3
+          ELSE 1 END) * {REP_SQL}
+)::bigint"""
 # extras bucket 3 contributes one extra <p> element
 N_PARAGRAPHS_SQL = (f"({REP_SQL} + CASE WHEN doc_id % 23 = 3 "
                     f"THEN 1 ELSE 0 END)::bigint")
@@ -167,7 +179,8 @@ def _q_extract_meta(spark, sf_dir):
                     "encoding",
                     F.col("quirks_mode").cast("long").alias("quirks_mode"),
                     (F.col("n_errors") > 0).alias("has_errors"),
-                    F.col("n_errors").alias("n_errors")))
+                    F.col("n_errors").alias("n_errors"),
+                    F.col("n_elements").alias("n_elements")))
 
 
 def _q_extract_enc_distribution(spark, sf_dir):
@@ -342,7 +355,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_meta": f"""
 SELECT {URL_SQL} AS url, {ENC_SQL} AS encoding,
        {QUIRKS_SQL} AS quirks_mode, {HAS_ERRORS_SQL} AS has_errors,
-       {N_ERRORS_SQL} AS n_errors
+       {N_ERRORS_SQL} AS n_errors, {N_ELEMENTS_SQL} AS n_elements
 FROM documents""",
         "extract_enc_distribution": f"""
 SELECT {ENC_SQL} AS encoding, count(*) AS n_docs FROM documents GROUP BY 1""",

@@ -15,21 +15,26 @@ from .treebuilder import EncodingChangeRequired, TreeBuilder
 
 
 class Output:
-    __slots__ = ("document", "encoding", "quirks_mode", "errors")
+    __slots__ = ("document", "encoding", "quirks_mode", "errors",
+                 "n_tokens", "n_elements")
 
     def __init__(self, document: Document, encoding: str, quirks_mode: int,
-                 errors: list[str]) -> None:
+                 errors: list[str], n_tokens: int = 0,
+                 n_elements: int = 0) -> None:
         self.document = document
         self.encoding = encoding
         self.quirks_mode = quirks_mode
         self.errors = errors
+        # tokenizer / tree-builder counters (north-star per-doc metrics)
+        self.n_tokens = n_tokens
+        self.n_elements = n_elements
 
 
 def _parse_text(text: str, scripting: bool, meta_hook=None):
     t = tz.Tokenizer(text)
     tb = TreeBuilder(t, scripting=scripting, meta_encoding_hook=meta_hook)
     doc = tb.run()
-    return doc, t.errors + tb.errors
+    return doc, t.errors + tb.errors, tb
 
 
 def parse(data: bytes | str, transport_charset: str | None = None,
@@ -37,8 +42,9 @@ def parse(data: bytes | str, transport_charset: str | None = None,
           prescan_bytes: int = 1024) -> Output:
     """Parse a full HTML document from raw bytes (or pre-decoded text)."""
     if isinstance(data, str):
-        doc, errors = _parse_text(data, scripting)
-        return Output(doc, "utf-8", doc.quirks_mode, errors)
+        doc, errors, tb = _parse_text(data, scripting)
+        return Output(doc, "utf-8", doc.quirks_mode, errors,
+                      tb.n_tokens, tb.n_elements)
 
     encoding, certain = charset.sniff(data, transport_charset, fallback, prescan_bytes)
     for _attempt in range(2):
@@ -63,14 +69,16 @@ def parse(data: bytes | str, transport_charset: str | None = None,
             raise EncodingChangeRequired(new_enc)
 
         try:
-            doc, errors = _parse_text(text, scripting, meta_hook if not certain else None)
+            doc, errors, tb = _parse_text(text, scripting,
+                                          meta_hook if not certain else None)
         except EncodingChangeRequired as e:
             encoding = e.encoding
             certain = True
             continue
         if changed:
             encoding = changed[-1]
-        return Output(doc, encoding, doc.quirks_mode, errors)
+        return Output(doc, encoding, doc.quirks_mode, errors,
+                      tb.n_tokens, tb.n_elements)
     raise AssertionError("unreachable: at most one encoding restart")
 
 

@@ -104,6 +104,8 @@ class TreeBuilder:
         self.fragment_context = fragment_context
         self.iframe_srcdoc = False
         self.done = False
+        self.n_tokens = 0    # tokenizer counter (north-star metrics)
+        self.n_elements = 0  # tree-builder counter
         tokenizer.cdata_ok = self._cdata_ok
         self.meta_encoding_hook = meta_encoding_hook
 
@@ -114,10 +116,13 @@ class TreeBuilder:
     def run(self) -> Document:
         if self.fragment_context is not None:
             self._setup_fragment()
+        n = 0
         for token in self.tokenizer.tokenize():
+            n += 1
             self.process(token)
             if self.done:
                 break
+        self.n_tokens = n
         return self.doc
 
     def _setup_fragment(self) -> None:
@@ -135,7 +140,7 @@ class TreeBuilder:
         elif name == "plaintext":
             t.state = tz.PLAINTEXT
         t.last_start_tag = ctx.name
-        root = Element("html", HTML_NS)
+        root = self.create_element("html", {}, HTML_NS)
         self.doc.append(root)
         self.stack.append(root)
         if name == "template":
@@ -375,6 +380,7 @@ class TreeBuilder:
         p.insert_before(Comment(data), before)
 
     def create_element(self, name: str, attrs: dict, namespace: str = HTML_NS) -> Element:
+        self.n_elements += 1
         return Element(name, namespace, attrs)
 
     def insert_element(self, name: str, attrs: dict, namespace: str = HTML_NS,
@@ -521,7 +527,7 @@ class TreeBuilder:
                     self.stack.remove(node)
                     continue
                 entry = self.afe[node_afe_i]
-                clone = Element(entry.name, HTML_NS, dict(entry.attrs))
+                clone = self.create_element(entry.name, dict(entry.attrs))
                 self.afe[node_afe_i] = _AFEEntry(clone, entry.name, entry.attrs)
                 self.stack[self.stack.index(node)] = clone
                 node = clone
@@ -536,7 +542,7 @@ class TreeBuilder:
                 last_node.parent.remove(last_node)
             parent, before = self.appropriate_place(common_ancestor)
             parent.insert_before(last_node, before)
-            clone = Element(fmt_entry.name, HTML_NS, dict(fmt_entry.attrs))
+            clone = self.create_element(fmt_entry.name, dict(fmt_entry.attrs))
             while furthest.children:
                 child = furthest.children[0]
                 furthest.remove(child)
@@ -701,7 +707,7 @@ class TreeBuilder:
                 return None
             token = (CHARS, data)
         elif kind == START and token[1] == "html":
-            el = Element("html", HTML_NS, token[2])
+            el = self.create_element("html", token[2])
             self.doc.append(el)
             self.stack.append(el)
             self.mode = BEFORE_HEAD
@@ -709,7 +715,7 @@ class TreeBuilder:
         elif kind == END and token[1] not in ("head", "body", "html", "br"):
             self.error("unexpected-end-tag")
             return None
-        el = Element("html", HTML_NS, {})
+        el = self.create_element("html", {})
         self.doc.append(el)
         self.stack.append(el)
         self.mode = BEFORE_HEAD
@@ -1264,7 +1270,7 @@ class TreeBuilder:
 
     def _insert_foreign(self, name: str, attrs: dict, namespace: str,
                         self_closing: bool) -> Element:
-        el = Element(name, namespace, attrs)
+        el = self.create_element(name, attrs, namespace)
         parent, before = self.appropriate_place()
         parent.insert_before(el, before)
         if not self_closing:

@@ -38,7 +38,8 @@ from ..engine.extractor import extract_body_text
 EXTRACT_SCHEMA = (
     "url string, text string, "
     "spans array<struct<path:string,tag:string,start:long,end:long>>, "
-    "encoding string, quirks_mode int, n_errors long, html_bytes long, "
+    "encoding string, quirks_mode int, n_errors long, n_tokens long, "
+    "n_elements long, html_bytes long, "
     "truncated boolean, part_id int, batch_seq long"
 )
 
@@ -48,7 +49,8 @@ def parse_extract_batch(pdf: pd.DataFrame, part_id: int, batch_seq: int,
                         with_spans: bool) -> pd.DataFrame:
     """Parse+extract one Arrow batch (pure pandas-in/pandas-out)."""
     out = {k: [] for k in ("url", "text", "spans", "encoding", "quirks_mode",
-                           "n_errors", "html_bytes", "truncated")}
+                           "n_errors", "n_tokens", "n_elements",
+                           "html_bytes", "truncated")}
     for url, html in zip(pdf["url"], pdf["html"]):
         raw = bytes(html) if html is not None else b""
         truncated = False
@@ -61,8 +63,10 @@ def parse_extract_batch(pdf: pd.DataFrame, part_id: int, batch_seq: int,
             else:
                 text, spans = extract_body_text(o.document), []
             enc, quirks, nerr = o.encoding, o.quirks_mode, len(o.errors)
+            ntok, nel = o.n_tokens, o.n_elements
         except Exception:  # never fail the task for one bad document
             text, spans, enc, quirks, nerr = "", [], "error", 0, -1
+            ntok = nel = 0
         out["url"].append(url)
         out["text"].append(text)
         out["spans"].append(
@@ -71,6 +75,8 @@ def parse_extract_batch(pdf: pd.DataFrame, part_id: int, batch_seq: int,
         out["encoding"].append(enc)
         out["quirks_mode"].append(quirks)
         out["n_errors"].append(nerr)
+        out["n_tokens"].append(ntok)
+        out["n_elements"].append(nel)
         out["html_bytes"].append(len(raw))
         out["truncated"].append(truncated)
     res = pd.DataFrame(out)

@@ -175,12 +175,16 @@ def run_report(out: DataFrame) -> dict:
                 .agg(F.count("*").alias("docs"),
                      F.sum("html_bytes").alias("bytes"),
                      F.sum("n_errors").alias("errors"),
+                     F.sum("n_tokens").alias("tokens"),
+                     F.sum("n_elements").alias("elements"),
                      F.sum(F.col("truncated").cast("long")).alias("truncated"))
                 .collect())
     total = {
         "docs": sum(r["docs"] for r in per_part),
         "bytes": int(sum(r["bytes"] or 0 for r in per_part)),
         "errors": int(sum(r["errors"] or 0 for r in per_part)),
+        "tokens": int(sum(r["tokens"] or 0 for r in per_part)),
+        "elements": int(sum(r["elements"] or 0 for r in per_part)),
         "truncated": int(sum(r["truncated"] or 0 for r in per_part)),
         "partitions": len(per_part),
     }
