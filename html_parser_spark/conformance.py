@@ -159,6 +159,107 @@ def load_encoding_cases(path: str):
     ]
 
 
+def parse_pipe_tree(text: str):
+    """Inverse of ``dom.to_test_tree`` for the serializer fixture format:
+    build a DOM node list from ``| ``-indented pipe-format lines.
+    Supports elements (with optional ``svg``/``math`` namespace prefix),
+    plain attributes, quoted text, comments, doctypes, PIs and template
+    ``content`` pseudo-nodes."""
+    from .engine.dom import (Comment, Document, DocumentType, Element,
+                             ProcessingInstruction, Text)
+    from .engine.dom import MATHML_NS, SVG_NS
+
+    root = Document()
+    # stack of (indent, container) where container has .children/.append
+    stack: list[tuple[int, object]] = [(-1, root)]
+    last_el: Element | None = None
+    last_indent = -1
+    for raw in text.split("\n"):
+        if not raw.startswith("| "):
+            continue
+        body = raw[2:]
+        indent = (len(body) - len(body.lstrip(" "))) // 2
+        item = body.strip()
+        # attribute line: one level deeper than its element, name="value"
+        if (last_el is not None and indent == last_indent + 1
+                and not item.startswith(("<", '"')) and "=" in item):
+            name, _, value = item.partition("=")
+            last_el.attrs[name.strip()] = value.strip()[1:-1]
+            continue
+        while stack and stack[-1][0] >= indent:
+            stack.pop()
+        parent = stack[-1][1]
+        if item == "content":  # template contents pseudo-node
+            assert isinstance(parent, Element) and parent.content is not None
+            stack.append((indent, parent.content))
+            continue
+        node = None
+        if item.startswith('"'):
+            node = Text(item[1:-1])
+        elif item.startswith("<!DOCTYPE"):
+            inner = item[9:].rstrip(">").strip()
+            name = inner.split(" ")[0] if inner else ""
+            node = DocumentType(name, "", "")
+        elif item.startswith("<!--"):
+            node = Comment(item[4:-3].strip())
+        elif item.startswith("<?"):
+            target, _, data = item[2:-1].partition(" ")
+            node = ProcessingInstruction(target, data)
+        elif item.startswith("<svg "):
+            node = Element(item[5:-1], SVG_NS)
+        elif item.startswith("<math "):
+            node = Element(item[6:-1], MATHML_NS)
+        elif item.startswith("<"):
+            node = Element(item[1:-1])
+        if node is None:
+            continue
+        parent.append(node)
+        if isinstance(node, Element):
+            stack.append((indent, node))
+            last_el, last_indent = node, indent
+    return root
+
+
+def load_serializer_cases(path: str):
+    """Serializer .dat: #document|#fragment pipe tree + #output html
+    (format parity: /root/reference/tests/cases/serializer/*.dat)."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    cases: list[dict] = []
+    current: dict | None = None
+    key = None
+    for line in raw.split(b"\n"):
+        tag = line[1:].decode("ascii", "ignore") if line.startswith(b"#") else None
+        if tag in ("document", "fragment"):
+            if current is not None and "output" in current:
+                cases.append(current)
+            current = {"kind": tag}
+            key = "tree"
+            current[key] = []
+        elif tag == "output" and current is not None:
+            key = "output"
+            current[key] = []
+        elif current is not None and key is not None:
+            current[key].append(line)
+    if current is not None and "output" in current:
+        cases.append(current)
+    out = []
+    for i, c in enumerate(cases):
+        out.append({
+            "case_id": f"{os.path.basename(path)}:{i}",
+            "tree": b"\n".join(c["tree"]).decode("utf-8"),
+            "is_fragment": c["kind"] == "fragment",
+            "expected": b"\n".join(c["output"]).decode("utf-8").strip("\n"),
+        })
+    return out
+
+
+def run_serializer_case(case: dict) -> tuple[str, str]:
+    from .engine.serializer import serialize_inner
+    root = parse_pipe_tree(case["tree"])
+    return serialize_inner(root), case["expected"]
+
+
 def iter_fixture_files(subdir: str, suffix: str):
     d = os.path.join(FIXTURES, subdir)
     if not os.path.isdir(d):

@@ -38,6 +38,9 @@ def load_all_cases() -> list[tuple[str, str, str]]:
             rows.append((case["case_id"], "encoding", json.dumps(
                 {"input_hex": case["input"].hex(),
                  "expected": case["expected"]})))
+    for path in conf.iter_fixture_files("serializer", ".dat"):
+        for case in conf.load_serializer_cases(path):
+            rows.append((case["case_id"], "serializer", json.dumps(case)))
     return rows
 
 
@@ -53,6 +56,9 @@ def _run_case(kind: str, payload: str) -> bool:
         from ..engine import charset
         enc, _ = charset.sniff(bytes.fromhex(p["input_hex"]))
         return enc == p["expected"]
+    if kind == "serializer":
+        actual, expected = conf.run_serializer_case(p)
+        return actual == expected
     return False
 
 

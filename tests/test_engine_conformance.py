@@ -8,8 +8,9 @@ trees; TestCharset.php:70-73 compares sniffed encodings)."""
 import pytest
 
 from conformance import (
-    iter_fixture_files, load_encoding_cases, load_tokenizer_cases,
-    load_tree_cases, run_tokenizer_case, run_tree_case,
+    iter_fixture_files, load_encoding_cases, load_serializer_cases,
+    load_tokenizer_cases, load_tree_cases, run_serializer_case,
+    run_tokenizer_case, run_tree_case,
 )
 from html_parser_spark.engine import charset
 
@@ -24,6 +25,10 @@ _TREE_CASES = [
 _ENCODING_CASES = [
     c for path in iter_fixture_files("encoding", ".dat")
     for c in load_encoding_cases(path)
+]
+_SERIALIZER_CASES = [
+    c for path in iter_fixture_files("serializer", ".dat")
+    for c in load_serializer_cases(path)
 ]
 
 
@@ -47,7 +52,15 @@ def test_encoding_conformance(case):
     assert enc == case["expected"]
 
 
+@pytest.mark.parametrize("case", _SERIALIZER_CASES,
+                         ids=[c["case_id"] for c in _SERIALIZER_CASES])
+def test_serializer_conformance(case):
+    actual, expected = run_serializer_case(case)
+    assert actual == expected, f"\ngot:      {actual!r}\nexpected: {expected!r}"
+
+
 def test_suites_are_nonempty():
     assert len(_TOKENIZER_CASES) >= 60
     assert len(_TREE_CASES) >= 50
     assert len(_ENCODING_CASES) >= 10
+    assert len(_SERIALIZER_CASES) >= 10
