@@ -122,6 +122,12 @@ TREE_CASES = [
     ("<xmp><b>raw</b></xmp>", None),
     ("<select><option>a<option>b</select>", None),
     ("<table><select><option>o</table>p", None),
+    # quirks vs standards: <table> closes an open <p> only in
+    # no-quirks documents (spec "in body" table handler)
+    ("<!DOCTYPE html><p>x<table><td>y", None),
+    ("<p>x<table><td>y", None),
+    # foster + formatting reconstruction across a table boundary
+    ("<!DOCTYPE html><p><b><i><table><img><div>x", None),
 ]
 
 

@@ -1,0 +1,80 @@
+"""Crash-robustness: at crawl scale the parser sees arbitrary bytes.
+``parse`` + extraction must never raise — it must always produce an
+Output (the WHATWG algorithm is total: every byte string has a parse).
+Seeded (deterministic) structured + random fuzz."""
+
+from __future__ import annotations
+
+import random
+
+from html_parser_spark.engine import parse
+from html_parser_spark.engine.extractor import extract_body_text, extract_text
+from html_parser_spark.engine.serializer import serialize
+
+_SNIPPETS = [
+    b"<", b">", b"</", b"<!", b"<!--", b"-->", b"<!DOCTYPE", b"<![CDATA[",
+    b"]]>", b"<script>", b"</script>", b"<table>", b"<td>", b"<svg>",
+    b"<math>", b"<template>", b"&", b"&#", b"&#x", b"&amp", b";", b"\x00",
+    b"\xff\xfe", b"\xef\xbb\xbf", b"\xfe\xff", b"<meta charset=", b'"',
+    b"'", b"=", b"<b><i>", b"</b></i>", b"<select>", b"<frameset>",
+    b"<plaintext>", b"<xmp>", b"<title>", b"<textarea>", b"\r\n", b"\r",
+    b"x", b"\xc3", b"\xe2\x82", b"<p a=b c='d'", b"<foo/", b"<?",
+    b"<annotation-xml encoding=text/html>",
+]
+
+
+def test_structured_fuzz_never_crashes():
+    rng = random.Random(42)
+    for _ in range(1500):
+        data = b"".join(rng.choice(_SNIPPETS)
+                        for _ in range(rng.randint(1, 30)))
+        o = parse(data)
+        extract_body_text(o.document)
+        assert o.n_tokens >= 0
+
+
+def test_random_bytes_never_crash():
+    rng = random.Random(7)
+    for _ in range(800):
+        data = bytes(rng.getrandbits(8)
+                     for _ in range(rng.randint(0, 300)))
+        o = parse(data)
+        text, spans = extract_text(o.document)
+        assert isinstance(text, str)
+
+
+# The WHATWG serialization algorithm is documented as lossy for two
+# input classes (both FOUND by this fuzzer, both confirmed
+# spec-conformant — the spec warns serialized output "does not
+# necessarily parse back"):
+#   1. rawtext elements whose swallowed content contains markup
+#      (<plaintext> swallows every later tag as literal text);
+#   2. attribute *names* containing '<' or '"' (attr names are not
+#      escaped by the algorithm), which malformed tags like
+#      "<foo/<?<template>" produce;
+#   3. foster-parented structures: content legally hoisted before a
+#      <table> (e.g. a <div> fostered inside an open <i>) serializes to
+#      markup whose reparse — without the in-table context that caused
+#      the fostering — builds a different (also spec-correct) tree.
+# The fixpoint property is asserted on a pool that cannot manufacture
+# those; the crash-robustness tests above keep the full pool.
+_FIXPOINT_SNIPPETS = [
+    b"<div>", b"</div>", b"<p class='a'>", b"<b><i>", b"</b></i>",
+    b"<svg>", b"</svg>", b"<math>",
+    b"<template>", b"</template>", b"<select>", b"</select>",
+    b"<!-- c -->", b"&amp;", b"&#65;", b"&notin;",
+    b"x y", b"\r\n", b"\x00", b"<ul><li>a", b"<h1>h</h2>", b"<br>",
+    b"<img src=u>", b"<span data-x=1>", b"<a href='u'>t</a>",
+]
+
+
+def test_fuzz_serialize_reparse_fixpoint():
+    """serialize(parse(x)) must itself reparse without error and
+    serialize to the same string (fixpoint after one normalization)."""
+    rng = random.Random(3)
+    for _ in range(300):
+        data = b"".join(rng.choice(_FIXPOINT_SNIPPETS)
+                        for _ in range(rng.randint(1, 20)))
+        once = serialize(parse(data).document)
+        twice = serialize(parse(once.encode("utf-8"), "utf-8").document)
+        assert once == twice, data
