@@ -271,6 +271,23 @@ def _q_sim_lsh(spark, sf_dir):
                     F.col("rank").cast("long").alias("rank"), "cosine_r4"))
 
 
+def _q_fragment_extract(spark, sf_dir):
+    """innerHTML fragment parsing: build an <ul> snippet from each
+    document's words (one <li> per word), fragment-parse it in a ul
+    context, extract textContent. Expected text = words concatenated
+    (li boundaries contribute no separators) — closed-form SQL."""
+    from html_parser_spark.operators.fragment import parse_fragments
+    docs = _docs(spark, sf_dir)
+    snippets = docs.select(
+        F.col("doc_id").alias("id"),
+        F.concat(F.lit("<li>"),
+                 F.regexp_replace(F.col("text"), " ", "</li><li>"),
+                 F.lit("</li>")).alias("snippet"))
+    res = parse_fragments(snippets, context="ul")
+    return res.select(F.col("id").alias("doc_id"),
+                      F.col("text").alias("frag_text"), "ok")
+
+
 def _q_conformance(spark, sf_dir):
     """html5lib-format conformance suites distributed through the same
     engine the extraction UDF ships. No SQL oracle (the case corpus
@@ -337,6 +354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "similarity_topk": _q_sim_topk,
         "similarity_ann_lsh": _q_sim_lsh,
+        "fragment_extract": _q_fragment_extract,
         "conformance_pass_rate": _q_conformance,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_frame_sample": _q_multimodal_frames,
@@ -402,6 +420,9 @@ r AS (SELECT q_id, neighbor_id,
              round(c, 4) AS cosine_r4
       FROM s)
 SELECT q_id, neighbor_id, rank, cosine_r4 FROM r WHERE rank <= 5""",
+        "fragment_extract": """
+SELECT doc_id, replace(text, ' ', '') AS frag_text, true AS ok
+FROM documents""",
         "multimodal_decode": """
 WITH m AS (
   SELECT doc_id * 2 AS media_id, 'image' AS kind,

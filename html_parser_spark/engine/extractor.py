@@ -9,7 +9,7 @@ the output table's ``spans`` column.
 
 from __future__ import annotations
 
-from .dom import HTML_NS, Document, Element, Text
+from .dom import HTML_NS, Document, DocumentFragment, Element, Text
 
 
 def find_body(doc: Document) -> Element | None:
@@ -31,9 +31,7 @@ def text_content(node) -> str:
         n = stack.pop()
         if isinstance(n, Text):
             parts.append(n.data)
-        elif isinstance(n, Element):
-            stack.extend(reversed(n.children))
-        elif isinstance(n, Document):
+        elif isinstance(n, (Element, Document, DocumentFragment)):
             stack.extend(reversed(n.children))
     return "".join(parts)
 
