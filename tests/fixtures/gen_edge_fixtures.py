@@ -128,6 +128,28 @@ TREE_CASES = [
     ("<p>x<table><td>y", None),
     # foster + formatting reconstruction across a table boundary
     ("<!DOCTYPE html><p><b><i><table><img><div>x", None),
+    # foreign-content attribute adjustment (case maps + namespaces)
+    ('<svg xlink:href="u" viewbox="0 0 1 1" xml:lang="en">'
+     '<a xlink:title="t"/></svg>', None),
+    # mglyph/malignmark stay foreign inside a MathML text IP
+    ('<math definitionurl="d"><mglyph/><mi><mglyph/></mi></math>', None),
+    # hidden-input-in-table special rule vs fostered text input
+    ('<table><input type="hidden" name="h"><input type="text"></table>',
+     None),
+    # form-in-table: inserted and immediately popped
+    ("<table><form><input type=hidden></form></table>", None),
+    # doctype public/system ids round-trip in the tree
+    ('<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 4.01 Transitional//EN">x',
+     None),
+    ("<a href=a>1<a href=b>2</a>3", None),
+    ("<button>a<button>b", None),
+    ("<p><label>a<label>b", None),
+    ("<head><noscript><style>p{}</style><basefont></noscript></head>", None),
+    ("<svg><script>alert(1)</script></svg>", None),
+    ("<option>a<optgroup>b<option>c</optgroup>d", None),
+    ("<table><colgroup><col span=2><template></template></colgroup>"
+     "</table>", None),
+    ("<li>a<div>b<li>c", None),
 ]
 
 
