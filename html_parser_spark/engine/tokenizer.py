@@ -238,11 +238,34 @@ class Tokenizer:
                     yield (CHARS, "".join(buf))
                 if pos >= n:
                     continue
-                # '<'
-                self.pos = pos + 1
-                tok = yield from self._tag_open()
-                if tok is not None:
-                    yield tok
+                # '<' — plain start/end tags take a non-generator fast
+                # path (generator setup for _tag_open is measurable at
+                # ~1 per 40 input bytes on real html)
+                p1 = pos + 1
+                c1 = s[p1] if p1 < n else ""
+                if "a" <= c1 <= "z" or "A" <= c1 <= "Z":
+                    self.pos = p1
+                    tok = self._tag_name(end_tag=False)
+                    if tok is not None:
+                        yield tok
+                elif c1 == "/":
+                    p2 = p1 + 1
+                    c2 = s[p2] if p2 < n else ""
+                    if "a" <= c2 <= "z" or "A" <= c2 <= "Z":
+                        self.pos = p2
+                        tok = self._tag_name(end_tag=True)
+                        if tok is not None:
+                            yield tok
+                    else:
+                        self.pos = p1
+                        tok = yield from self._tag_open()
+                        if tok is not None:
+                            yield tok
+                else:
+                    self.pos = p1
+                    tok = yield from self._tag_open()
+                    if tok is not None:
+                        yield tok
             elif state == RCDATA:
                 yield from self._rcdata_rawtext(rcdata=True)
             elif state == RAWTEXT:
