@@ -89,10 +89,14 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, sig_0..sig_{k-1}) MinHash signatures over word shingles.
     Docs with < n words get sentinel P31 in every slot."""
     g = word_shingles(docs, n)
-    h = F.expr(spark_base_hash("gram"))
-    mins = [F.min(F.expr(minhash_term(i, spark_base_hash("gram"))))
+    # project the md5-derived base hash ONCE per shingle row; the 16
+    # universal-hash minima are then cheap integer arithmetic (without
+    # this, each aggregate would recompute the md5)
+    hb = g.select("doc_id",
+                  (F.expr(spark_base_hash("gram")) % P31).alias("hb"))
+    mins = [F.min((MINHASH_A[i] * F.col("hb") + MINHASH_B[i]) % P31)
             .alias(f"sig_{i}") for i in range(NUM_HASHES)]
-    sigs = g.groupBy("doc_id").agg(*mins)
+    sigs = hb.groupBy("doc_id").agg(*mins)
     # left join back so signature-less docs (too short) keep a row
     all_ids = docs.select("doc_id")
     filled = all_ids.join(sigs, "doc_id", "left")
@@ -139,12 +143,14 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     stays positive int64 in both engines."""
     toks = docs.select("doc_id",
                        F.explode(F.split(F.col("text"), " ")).alias("tok"))
-    h = F.expr(spark_base_hash("tok"))
+    # one md5 per token row, then 48 cheap bit probes of the column
+    hb = toks.select("doc_id", F.expr(spark_base_hash("tok")).alias("hb"))
+    h = F.col("hb")
     bit_sums = [
         F.sum(F.when((F.shiftright(h, i).bitwiseAND(F.lit(1))) == 1,
                      F.lit(1)).otherwise(F.lit(-1))).alias(f"b{i}")
         for i in range(bits)]
-    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    agg = hb.groupBy("doc_id").agg(*bit_sums)
     sim = None
     for i in range(bits):
         term = F.when(F.col(f"b{i}") > 0,
