@@ -85,9 +85,22 @@ _C1_REMAP = {
 _ASCII_UPPER = str.maketrans("ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
 
 
+_LOWER_CACHE: dict = {}
+
+
 def _lower(s: str) -> str:
-    """ASCII-only lowercase (WHATWG lowercasing never touches non-ASCII)."""
-    return s.translate(_ASCII_UPPER)
+    """ASCII-only lowercase (WHATWG lowercasing never touches non-ASCII).
+
+    Memoized: real html repeats a small vocabulary of tag/attr names
+    millions of times, and returning the SAME string object also makes
+    downstream dict/set probes identity-fast. Bounded to typical
+    vocabularies; cleared if it ever grows pathological."""
+    v = _LOWER_CACHE.get(s)
+    if v is None:
+        if len(_LOWER_CACHE) > 4096:
+            _LOWER_CACHE.clear()
+        v = _LOWER_CACHE[s] = s.translate(_ASCII_UPPER)
+    return v
 
 
 class Tokenizer:
