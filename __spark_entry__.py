@@ -320,6 +320,16 @@ def _q_multimodal_frames(spark, sf_dir):
                     F.col("frame_idx").cast("long").alias("frame_idx")))
 
 
+def _q_sim_ivf(spark, sf_dir):
+    # IVF scale path: cluster-partitioned index, nprobe-bounded probe,
+    # exact rerank. No closed-form SQL oracle (iterative k-means);
+    # rows-only check + recall floor in tests.
+    return (similarity.ivf_topk(_emb(spark, sf_dir), _SIM_QUERY_IDS, k=5,
+                                n_clusters=8, nprobe=3)
+            .select("q_id", "neighbor_id",
+                    F.col("rank").cast("long").alias("rank"), "cosine_r4"))
+
+
 def _q_text_stats(spark, sf_dir):
     s = textstats.token_stats(_docs(spark, sf_dir))
     return s.select("doc_id",
@@ -354,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "similarity_topk": _q_sim_topk,
         "similarity_ann_lsh": _q_sim_lsh,
+        "similarity_ann_ivf": _q_sim_ivf,
         "fragment_extract": _q_fragment_extract,
         "conformance_pass_rate": _q_conformance,
         "multimodal_decode": _q_multimodal_decode,

@@ -98,6 +98,89 @@ def bucket_keys(emb: DataFrame, dim: int, n_planes: int = 4,
             .drop("_k"))
 
 
+def ivf_train(emb: DataFrame, k: int = 8, iters: int = 2,
+              id_col: str = "vec_id", vec_col: str = "embedding"
+              ) -> list[list[float]]:
+    """Train IVF centroids with Lloyd's algorithm, all Spark-side.
+
+    - deterministic init: the vectors of the ``k`` smallest ids;
+    - assignment: argmin over unrolled per-centroid distance
+      expressions (Catalyst, no UDF);
+    - update: posexplode → groupBy(cluster, dim) → avg — one small
+      map-side-combined shuffle per iteration; only the k×dim centroid
+      matrix ever reaches the driver (the standard iterative-ML loop
+      shape — same as MLlib KMeans).
+    """
+    cents = [
+        [float(x) for x in r[vec_col]]
+        for r in (emb.orderBy(id_col).limit(k).select(vec_col).collect())
+    ]
+    for _ in range(iters):
+        assigned = ivf_assign(emb, cents, vec_col)
+        rows = (assigned
+                .select("cluster", F.posexplode(
+                    F.transform(F.col(vec_col), lambda x: x.cast("double")))
+                    .alias("pos", "val"))
+                .groupBy("cluster", "pos")
+                .agg(F.avg("val").alias("m"))
+                .collect())
+        new = {(r["cluster"], r["pos"]): r["m"] for r in rows}
+        cents = [
+            [new.get((c, d), cents[c][d]) for d in range(len(cents[c]))]
+            for c in range(k)]
+    return cents
+
+
+def ivf_assign(emb: DataFrame, centroids: list[list[float]],
+               vec_col: str = "embedding") -> DataFrame:
+    """Add a ``cluster`` column: nearest centroid by squared L2 —
+    argmin(|c|² − 2·x·c) unrolled into one Catalyst expression."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scored = []
+    for ci, c in enumerate(centroids):
+        arr = F.array(*[F.lit(x) for x in c])
+        norm2 = sum(x * x for x in c)
+        scored.append(F.struct(
+            (F.lit(norm2) - 2.0 * _dot(arr, v)).alias("d"),
+            F.lit(ci).alias("c")))
+    return emb.withColumn("cluster", F.array_min(F.array(*scored))["c"])
+
+
+def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
+             n_clusters: int = 8, nprobe: int = 2, iters: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding"
+             ) -> DataFrame:
+    """IVF ANN top-k: train/assign coarse clusters, probe each query's
+    ``nprobe`` nearest clusters only, exact cosine rerank inside them.
+    At 10^12 vectors ``cluster`` is the partition key of the stored
+    index (Iceberg partition column) so a probe touches nprobe/k of the
+    corpus. Returns (q_id, neighbor_id, rank, cosine_r4)."""
+    cents = ivf_train(emb, n_clusters, iters, id_col, vec_col)
+    corpus = ivf_assign(emb, cents, vec_col)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dists = F.array(*[
+        F.struct((F.lit(sum(x * x for x in c))
+                  - 2.0 * _dot(F.array(*[F.lit(x) for x in c]), v))
+                 .alias("d"), F.lit(ci).alias("c"))
+        for ci, c in enumerate(cents)])
+    probes = F.slice(F.array_sort(dists), 1, nprobe)
+    q = (emb.filter(F.col(id_col).isin(query_ids))
+         .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qvec"),
+                 F.explode(F.transform(probes, lambda s: s["c"]))
+                 .alias("q_cluster")))
+    cand = corpus.join(
+        F.broadcast(q),
+        (F.col("cluster") == F.col("q_cluster"))
+        & (F.col(id_col) != F.col("q_id")))
+    scored = with_cosine(cand, "qvec", vec_col)
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(),
+                                           F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", F.col(id_col).alias("neighbor_id"),
+                    "rank", F.round("cosine", 4).alias("cosine_r4")))
+
+
 def hyperplane_lsh_topk(emb: DataFrame, query_ids: list[int], dim: int,
                         k: int = 5, n_planes: int = 4, n_tables: int = 8,
                         id_col: str = "vec_id", vec_col: str = "embedding"
