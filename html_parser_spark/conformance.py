@@ -85,6 +85,19 @@ def run_tokenizer_case(case: dict, state: int):
     return _merge_chars(out), _merge_chars(case["output"])
 
 
+def run_tokenizer_errors(case: dict, state: int):
+    """Returns (actual_error_codes, expected_error_codes) as sorted
+    lists. Positions aren't tracked (production path skips them, like
+    the reference's no-error-handler mode — Data.php:56-57), so only
+    code multisets are compared."""
+    t = tz.Tokenizer(case["input"], initial_state=state,
+                     last_start_tag=case.get("lastStartTag"))
+    for _ in t.tokenize():
+        pass
+    expected = sorted(e["code"] for e in case.get("errors", []))
+    return sorted(t.errors), expected
+
+
 def _merge_chars(tokens):
     merged = []
     for tok in tokens:

@@ -156,8 +156,13 @@ TREE_CASES = [
 def main():
     tests = []
     for desc, inp, state, last in TOK_CASES:
+        t = tz.Tokenizer(inp, initial_state=SMAP[state] or tz.DATA,
+                         last_start_tag=last)
+        for _ in t.tokenize():
+            pass
         case = {"description": desc, "input": inp,
-                "output": toks_out(inp, SMAP[state], last)}
+                "output": toks_out(inp, SMAP[state], last),
+                "errors": [{"code": c} for c in t.errors]}
         if state:
             case["initialStates"] = [state]
         if last:

@@ -39,6 +39,17 @@ def test_tokenizer_conformance(cid, case, state):
     assert actual == expected, f"{case['description']}: {actual!r} != {expected!r}"
 
 
+_TOKENIZER_ERROR_CASES = [c for c in _TOKENIZER_CASES if "errors" in c[1]]
+
+
+@pytest.mark.parametrize("cid,case,state", _TOKENIZER_ERROR_CASES,
+                         ids=[c[0] for c in _TOKENIZER_ERROR_CASES])
+def test_tokenizer_error_codes(cid, case, state):
+    from conformance import run_tokenizer_errors
+    actual, expected = run_tokenizer_errors(case, state)
+    assert actual == expected, case["description"]
+
+
 @pytest.mark.parametrize("case", _TREE_CASES, ids=[c["case_id"] for c in _TREE_CASES])
 def test_tree_conformance(case):
     actual, expected = run_tree_case(case)
