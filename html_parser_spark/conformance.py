@@ -148,16 +148,21 @@ def load_tree_cases(path: str):
             "fragment": c.get("document-fragment", b"").decode("utf-8").strip() or None,
             "expected": c["document"].decode("utf-8").rstrip("\n"),
             "n_errors": len([l for l in c.get("errors", b"").split(b"\n") if l.strip()]),
+            # html5lib convention: #script-on cases run with scripting
+            # enabled, #script-off (or neither) with scripting disabled
+            "scripting": "script-on" in c,
         })
     return result
 
 
 def run_tree_case(case: dict) -> tuple[str, str]:
+    scripting = bool(case.get("scripting"))
     if case["fragment"]:
-        frag = parse_fragment(case["input"], case["fragment"])
+        frag = parse_fragment(case["input"], case["fragment"],
+                              scripting=scripting)
         actual = to_test_tree(frag)
     else:
-        out = parse(case["input"])
+        out = parse(case["input"], scripting=scripting)
         actual = to_test_tree(out.document)
     return actual, case["expected"]
 
