@@ -79,7 +79,7 @@ N_ERRORS_SQL = f"""(
 N_ELEMENTS_SQL = f"""(
   6 + (CASE WHEN doc_id % 10 IN (0, 2, 5, 6, 8, 9) THEN 1 ELSE 0 END)
   + (CASE doc_id % 23 WHEN 1 THEN 6 WHEN 2 THEN 4 WHEN 3 THEN 1
-          WHEN 4 THEN 5 ELSE 0 END)
+          WHEN 4 THEN 5 WHEN 6 THEN 1 WHEN 7 THEN 8 ELSE 0 END)
   + (CASE WHEN doc_id % 7 = 3 AND len(string_split(text, ' ')) >= 3 THEN 4
           WHEN doc_id % 5 = 0 AND len(string_split(text, ' ')) >= 3 THEN 3
           ELSE 1 END) * {REP_SQL}

@@ -93,6 +93,11 @@ EXTRAS = {
     # comments / PI-as-bogus-comment / bogus doctype-ish markup: no text
     # (reference Tokenizer.php:2005-2399)
     5: ("<!--note--><?pi data?><!bogus>", "", True),
+    # pre leading-LF skip + charrefs inside pre (literal whitespace kept)
+    6: ("<pre>\n&gt;A\n  B&#x21;</pre>", ">A\n  B!", False),
+    # nested tables (in-table within in-cell re-entry)
+    7: ("<table><tr><td>o<table><tr><td>n</td></tr></table></td></tr>"
+        "</table>", "on", False),
 }
 
 _PAD = "x" * 1100  # pushes variant-6 meta past the 1024-byte prescan window
