@@ -38,10 +38,13 @@ def _noop(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def time_query(fn, *args) -> float:
-    t0 = time.monotonic()
-    _noop(fn(*args))
-    return round(time.monotonic() - t0, 3)
+def time_query(fn, *args, reps: int = 1) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.monotonic()
+        _noop(fn(*args))
+        best = min(best, time.monotonic() - t0)
+    return round(best, 3)
 
 
 def main() -> None:
@@ -88,10 +91,14 @@ def main() -> None:
         # ---- representative operator timings at the raw sf tables
         import __spark_entry__ as e
         qmap = e.queries()
-        for name in ("dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-                     "similarity_topk", "similarity_ann_lsh", "text_stats",
-                     "lang_id", "fingerprint", "multimodal_decode"):
-            queries[name] = time_query(qmap[name], spark, sf_dir)
+        # best-of-2 for cheap operators (co-tenant steal causes up to 4×
+        # swings on this host); single run for the heavy ones
+        for name, reps in (("dedup_exact", 2), ("dedup_minhash_lsh", 1),
+                           ("dedup_simhash", 2), ("similarity_topk", 2),
+                           ("similarity_ann_lsh", 1), ("text_stats", 2),
+                           ("lang_id", 2), ("fingerprint", 2),
+                           ("multimodal_decode", 2)):
+            queries[name] = time_query(qmap[name], spark, sf_dir, reps=reps)
         # jaccard is O(pairs) on a tiny shared vocabulary — bench a slice
         docs1k = (spark.read.parquet(f"{sf_dir}/documents.parquet")
                   .filter(F.col("doc_id") < 1000))
