@@ -239,6 +239,13 @@ def _q_dedup_jaccard(spark, sf_dir):
     return dedup.jaccard_pairs(_docs(spark, sf_dir), n=3, min_pct=60)
 
 
+def _q_dedup_jaccard_capped(spark, sf_dir):
+    # skew-controlled variant: boilerplate shingles (doc-freq > 20)
+    # leave the inverted index before the self-join
+    return dedup.jaccard_pairs(_docs(spark, sf_dir), n=3, min_pct=60,
+                               max_doc_freq=20)
+
+
 def _q_dedup_minhash(spark, sf_dir):
     return (dedup.minhash_band_pairs(_docs(spark, sf_dir))
             .select("doc_a", "doc_b",
@@ -359,6 +366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_exact_extracted": _q_dedup_exact_extracted,
         "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_jaccard_capped": _q_dedup_jaccard_capped,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
@@ -405,6 +413,19 @@ WITH {_SHINGLE_CTE},
 sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
           FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, inter,
+       (sa.n_grams + sb.n_grams - inter) AS union_grams
+FROM inter JOIN sizes sa ON inter.doc_a = sa.doc_id
+           JOIN sizes sb ON inter.doc_b = sb.doc_id
+WHERE 100 * inter >= 60 * (sa.n_grams + sb.n_grams - inter)""",
+        "dedup_jaccard_capped": f"""
+WITH {_SHINGLE_CTE},
+keep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 20),
+gc AS (SELECT g.doc_id, g.gram FROM g JOIN keep USING (gram)),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM gc GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM gc a JOIN gc b ON a.gram = b.gram AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
 SELECT doc_a, doc_b, inter,
        (sa.n_grams + sb.n_grams - inter) AS union_grams

@@ -57,16 +57,30 @@ def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
             .distinct())
 
 
-def jaccard_pairs(docs: DataFrame, n: int = 3,
-                  min_pct: int = 60) -> DataFrame:
+def jaccard_pairs(docs: DataFrame, n: int = 3, min_pct: int = 60,
+                  max_doc_freq: int | None = None) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard ≥ min_pct/100.
 
     Integer-only arithmetic (``100*inter >= min_pct*union``) so the
     result is exactly reproducible by the SQL oracle. Shape: inverted
-    index join on shingle — the standard scalable plan (shuffle keyed on
-    gram; hot grams are the skew risk and would be frequency-capped at
-    10^12 docs)."""
+    index join on shingle — the standard scalable plan (shuffle keyed
+    on gram).
+
+    ``max_doc_freq`` is the hot-key skew control for the 10^12-doc
+    plan: shingles occurring in more than that many documents
+    (boilerplate n-grams — "all rights reserved") are dropped from the
+    index *before* the self-join, bounding any join key's fan-out to
+    ``max_doc_freq²`` pairs. Union sizes are computed on the capped
+    shingle sets, so the threshold semantics stay exact and
+    oracle-reproducible (this is the SimHash/MinHash literature's
+    standard stop-shingle filter, not an approximation bolted on)."""
     g = word_shingles(docs, n)
+    if max_doc_freq is not None:
+        freq = (g.groupBy("gram")
+                .agg(F.count("*").alias("df"))
+                .filter(F.col("df") <= max_doc_freq)
+                .select("gram"))
+        g = g.join(freq, "gram")
     sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     a, b = g.alias("a"), g.alias("b")
     inter = (a.join(b, (F.col("a.gram") == F.col("b.gram"))
