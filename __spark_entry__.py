@@ -295,6 +295,22 @@ def _q_fragment_extract(spark, sf_dir):
                       F.col("text").alias("frag_text"), "ok")
 
 
+def _q_curation_pipeline(spark, sf_dir):
+    """The whole training-data pipeline composed end-to-end: synthesize
+    a 2-copy crawl → real WHATWG parse+extract → exact-dedup on the
+    *extracted* text (keep smallest url) → quality filter (≥200 chars
+    of extracted text). DuckDB independently predicts the surviving
+    url set from the closed-form expected text."""
+    pages = pages_df(spark, sf_dir, copies=2)
+    out = extract_pages(pages, with_spans=False)
+    kept = (out.groupBy(F.md5(F.col("text").cast("binary")).alias("k"))
+            .agg(F.min("url").alias("kept_url"),
+                 F.first(F.length("text")).alias("text_len"))
+            .filter(F.col("text_len") >= 200)
+            .select("kept_url"))
+    return kept
+
+
 def _q_conformance(spark, sf_dir):
     """html5lib-format conformance suites distributed through the same
     engine the extraction UDF ships. No SQL oracle (the case corpus
@@ -373,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": _q_sim_topk,
         "similarity_ann_lsh": _q_sim_lsh,
         "similarity_ann_ivf": _q_sim_ivf,
+        "curation_pipeline": _q_curation_pipeline,
         "fragment_extract": _q_fragment_extract,
         "conformance_pass_rate": _q_conformance,
         "multimodal_decode": _q_multimodal_decode,
@@ -452,6 +469,9 @@ r AS (SELECT q_id, neighbor_id,
              round(c, 4) AS cosine_r4
       FROM s)
 SELECT q_id, neighbor_id, rank, cosine_r4 FROM r WHERE rank <= 5""",
+        "curation_pipeline": f"""
+SELECT {URL_SQL} || '?c=0' AS kept_url
+FROM documents WHERE length({TEXT_SQL}) >= 200""",
         "fragment_extract": """
 SELECT doc_id, replace(text, ' ', '') AS frag_text, true AS ok
 FROM documents""",
