@@ -150,6 +150,15 @@ TREE_CASES = [
     ("<table><colgroup><col span=2><template></template></colgroup>"
      "</table>", None),
     ("<li>a<div>b<li>c", None),
+    # ruby annotation implied end tags (rt closes rb; rt nests in rtc;
+    # rb closes rtc)
+    ("<ruby><rb>a<rt>b</ruby>", None),
+    ("<ruby>a<rp>(<rt>b<rp>)</ruby>", None),
+    ("<ruby><rtc><rt>x<rb>y</ruby>", None),
+    ("<details><summary>s</summary>d</details>", None),
+    ("<datalist><option>o</datalist>", None),
+    ("<map name=m><area href=u></map>", None),
+    ("<figure><figcaption>c</figcaption>f</figure>", None),
 ]
 
 
