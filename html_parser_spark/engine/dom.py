@@ -141,11 +141,20 @@ class ProcessingInstruction(Node):
         self.data = data
 
 
+_NS_DISPLAY_PREFIX = {XLINK_NS: "xlink", XML_NS: "xml", XMLNS_NS: "xmlns"}
+
+
 def attr_sort_key(key) -> str:
-    """Qualified attribute name used for canonical (test) serialization."""
+    """Qualified attribute name used for canonical (test) serialization.
+
+    html5lib pipe format shows namespaced attributes as
+    ``<conventional-ns-prefix> <localname>`` keyed on the *namespace*
+    (so a bare ``xmlns`` attribute, which lives in the XMLNS namespace,
+    prints as ``xmlns xmlns``)."""
     if isinstance(key, tuple):
-        prefix, local, _ns = key
-        return f"{prefix} {local}" if prefix else local
+        prefix, local, ns = key
+        p = _NS_DISPLAY_PREFIX.get(ns, prefix)
+        return f"{p} {local}" if p else local
     return key
 
 

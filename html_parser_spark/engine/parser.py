@@ -30,19 +30,20 @@ class Output:
         self.n_elements = n_elements
 
 
-def _parse_text(text: str, scripting: bool, meta_hook=None):
+def _parse_text(text: str, scripting: bool, meta_hook=None, pi: bool = False):
     t = tz.Tokenizer(text)
-    tb = TreeBuilder(t, scripting=scripting, meta_encoding_hook=meta_hook)
+    tb = TreeBuilder(t, scripting=scripting, meta_encoding_hook=meta_hook,
+                     processing_instructions=pi)
     doc = tb.run()
     return doc, t.errors + tb.errors, tb
 
 
 def parse(data: bytes | str, transport_charset: str | None = None,
           fallback: str = "windows-1252", scripting: bool = False,
-          prescan_bytes: int = 1024) -> Output:
+          prescan_bytes: int = 1024, pi: bool = False) -> Output:
     """Parse a full HTML document from raw bytes (or pre-decoded text)."""
     if isinstance(data, str):
-        doc, errors, tb = _parse_text(data, scripting)
+        doc, errors, tb = _parse_text(data, scripting, pi=pi)
         return Output(doc, "utf-8", doc.quirks_mode, errors,
                       tb.n_tokens, tb.n_elements)
 
@@ -70,7 +71,8 @@ def parse(data: bytes | str, transport_charset: str | None = None,
 
         try:
             doc, errors, tb = _parse_text(text, scripting,
-                                          meta_hook if not certain else None)
+                                          meta_hook if not certain else None,
+                                          pi=pi)
         except EncodingChangeRequired as e:
             encoding = e.encoding
             certain = True
@@ -84,7 +86,8 @@ def parse(data: bytes | str, transport_charset: str | None = None,
 
 def parse_fragment(data: bytes | str, context: str | Element,
                    quirks_mode: int = NO_QUIRKS, encoding: str | None = None,
-                   scripting: bool = False) -> DocumentFragment:
+                   scripting: bool = False,
+                   pi: bool = False) -> DocumentFragment:
     """innerHTML-style fragment parse (parity:
     /root/reference/lib/Parser.php:61-72, fragment algorithm
     /root/reference/lib/Parser/TreeConstructor.php:278-323).
@@ -104,7 +107,8 @@ def parse_fragment(data: bytes | str, context: str | Element,
         enc = encoding or charset.sniff(data)[0]
         data = charset.decode(data, enc)
     t = tz.Tokenizer(data)
-    tb = TreeBuilder(t, scripting=scripting, fragment_context=context)
+    tb = TreeBuilder(t, scripting=scripting, fragment_context=context,
+                     processing_instructions=pi)
     tb.doc.quirks_mode = quirks_mode
     doc = tb.run()
     frag = DocumentFragment()

@@ -51,7 +51,9 @@ def _attr_name(key) -> str:
             return "xmlns" if local == "xmlns" and not prefix else f"xmlns:{local}"
         if ns == XLINK_NS:
             return f"xlink:{local}"
-        return local
+        # any other namespace: the attribute's qualified name (WHATWG
+        # serialization §"attribute's serialized name", final clause)
+        return f"{prefix}:{local}" if prefix else local
     return key
 
 

@@ -223,6 +223,9 @@ FOREIGN_ATTR_ADJUST = {
     "xlink:show": ("xlink", "show", XLINK_NS),
     "xlink:title": ("xlink", "title", XLINK_NS),
     "xlink:type": ("xlink", "type", XLINK_NS),
+    # xml:id is a deliberate reference deviation we mirror
+    # (/root/reference/lib/Parser/TreeConstructor.php:212)
+    "xml:id": ("xml", "id", XML_NS),
     "xml:lang": ("xml", "lang", XML_NS),
     "xml:space": ("xml", "space", XML_NS),
     "xmlns": ("", "xmlns", XMLNS_NS),

@@ -342,7 +342,7 @@ class Tokenizer:
         if c == "?":
             self.error("unexpected-question-mark-instead-of-tag-name")
             self.pos = pos
-            return self._bogus_comment("")
+            return self._bogus_comment("", from_pi=True)
         self.error("invalid-first-character-of-tag-name")
         return (CHARS, "<")
 
@@ -546,7 +546,7 @@ class Tokenizer:
         self.error("incorrectly-opened-comment")
         return self._bogus_comment("")
 
-    def _bogus_comment(self, prefix: str):
+    def _bogus_comment(self, prefix: str, from_pi: bool = False):
         s, n = self.s, self.n
         parts = [prefix]
         pos = self.pos
@@ -564,7 +564,9 @@ class Tokenizer:
             parts.append("�")
             pos += 1
         self.pos = pos
-        return (COMMENT, "".join(parts))
+        # 3rd element marks `<?`-origin (the tree builder's optional
+        # PI-preservation mode needs the provenance)
+        return (COMMENT, "".join(parts), from_pi)
 
     def _comment(self):
         """self.pos just after '<!--'."""

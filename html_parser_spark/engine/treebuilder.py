@@ -20,10 +20,27 @@ meta-charset encoding-change restart (raised as ``EncodingChangeRequired``).
 from __future__ import annotations
 
 from . import tokenizer as tz
+import re as _re
+
 from .dom import (
-    HTML_NS, MATHML_NS, SVG_NS, LIMITED_QUIRKS, NO_QUIRKS, QUIRKS,
-    Comment, Document, DocumentType, Element, Text,
+    HTML_NS, MATHML_NS, SVG_NS, XLINK_NS, XMLNS_NS,
+    LIMITED_QUIRKS, NO_QUIRKS, QUIRKS,
+    Comment, Document, DocumentType, Element, ProcessingInstruction, Text,
 )
+
+# XML 1.0 5e Name production (BMP only — mirrors the reference's
+# observable behavior, whose PHP DOM rejects astral PI targets and
+# falls back to a comment; TreeConstructor.php:3811-3819), with the
+# reserved 'xml' target excluded per the XML PITarget rule
+_NAME_START = (
+    ":A-Z_a-z\u00C0-\u00D6\u00D8-\u00F6\u00F8-\u02FF\u0370-\u037D"
+    "\u037F-\u1FFF\u200C-\u200D\u2070-\u218F\u2C00-\u2FEF\u3001-\uD7FF"
+    "\uF900-\uFDCF\uFDF0-\uFFFD")
+_NAME_CHAR = _NAME_START + "\\-.0-9\u00B7\u0300-\u036F\u203F-\u2040"
+_PI_RE = _re.compile(
+    r"^\?(?![Xx][Mm][Ll](?:[ \t\r\n]|$))"
+    rf"([{_NAME_START}][{_NAME_CHAR}]*)"
+    r"(?:[ \t\r\n](.*))?$", _re.S)
 from .charset import from_meta_content, label_to_encoding
 from .tables import (
     BLOCK_END, BLOCK_START, BREAKOUT, FOREIGN_ATTR_ADJUST, FORMATTING,
@@ -85,7 +102,9 @@ class _AFEEntry:
 class TreeBuilder:
     def __init__(self, tokenizer: tz.Tokenizer, scripting: bool = False,
                  fragment_context: Element | None = None,
-                 meta_encoding_hook=None) -> None:
+                 meta_encoding_hook=None,
+                 processing_instructions: bool = False) -> None:
+        self.processing_instructions = processing_instructions
         self.tokenizer = tokenizer
         self.scripting = scripting
         self.doc = Document()
@@ -372,12 +391,25 @@ class TreeBuilder:
         else:
             parent.insert_before(Text(data), before)
 
-    def insert_comment(self, data: str, parent=None) -> None:
+    def insert_comment(self, token, parent=None) -> None:
+        """Insert a comment token — or, when the non-standard
+        ``processing_instructions`` option is on (reference
+        Config.php + TreeConstructor.php:3808-3822), a real PI node for
+        ``<?target data>``-shaped bogus comments whose target is a
+        valid XML Name (sans the 'xml' reserved target)."""
+        data = token[1]
+        node = None
+        if (self.processing_instructions and len(token) > 2 and token[2]):
+            m = _PI_RE.match(data)
+            if m is not None:
+                node = ProcessingInstruction(m.group(1), m.group(2) or "")
+        if node is None:
+            node = Comment(data)
         if parent is not None:
-            parent.append(Comment(data))
+            parent.append(node)
             return
         p, before = self.appropriate_place()
-        p.insert_before(Comment(data), before)
+        p.insert_before(node, before)
 
     def create_element(self, name: str, attrs: dict, namespace: str = HTML_NS) -> Element:
         self.n_elements += 1
@@ -655,7 +687,7 @@ class TreeBuilder:
                 return None
             token = (CHARS, data)
         elif kind == COMMENT:
-            self.insert_comment(token[1], self.doc)
+            self.insert_comment(token, self.doc)
             return None
         elif kind == DOCTYPE:
             _, name, public, system, force_quirks = token
@@ -699,7 +731,7 @@ class TreeBuilder:
             self.error("unexpected-doctype")
             return None
         if kind == COMMENT:
-            self.insert_comment(token[1], self.doc)
+            self.insert_comment(token, self.doc)
             return None
         if kind == CHARS:
             data = token[1].lstrip(_WS)
@@ -729,7 +761,7 @@ class TreeBuilder:
                 return None
             token = (CHARS, data)
         elif kind == COMMENT:
-            self.insert_comment(token[1])
+            self.insert_comment(token)
             return None
         elif kind == DOCTYPE:
             self.error("unexpected-doctype")
@@ -759,7 +791,7 @@ class TreeBuilder:
                 return None
             token = (CHARS, data[ws_len:])
         elif kind == COMMENT:
-            self.insert_comment(token[1])
+            self.insert_comment(token)
             return None
         elif kind == DOCTYPE:
             self.error("unexpected-doctype")
@@ -910,7 +942,7 @@ class TreeBuilder:
                 return None
             token = (CHARS, data[ws_len:])
         elif kind == COMMENT:
-            self.insert_comment(token[1])
+            self.insert_comment(token)
             return None
         elif kind == DOCTYPE:
             self.error("unexpected-doctype")
@@ -971,7 +1003,7 @@ class TreeBuilder:
             self.error("unexpected-null-character")
             return None
         if kind == COMMENT:
-            self.insert_comment(token[1])
+            self.insert_comment(token)
             return None
         if kind == DOCTYPE:
             self.error("unexpected-doctype")
@@ -1270,6 +1302,20 @@ class TreeBuilder:
 
     def _insert_foreign(self, name: str, attrs: dict, namespace: str,
                         self_closing: bool) -> Element:
+        # xmlns sanity (parity /root/reference/lib/Parser/
+        # TreeConstructor.php:4040-4046): the spec flags an xmlns
+        # attribute whose value contradicts the element's namespace (or
+        # an xmlns:xlink that isn't the XLink namespace) as a parse
+        # error but is silent on disposition; like the reference we
+        # drop them (they'd corrupt a namespace-aware DOM)
+        for k in list(attrs):
+            if isinstance(k, tuple) and k[2] == XMLNS_NS:
+                if k[1] == "xmlns" and attrs[k] != namespace:
+                    self.error("invalid-namespace-attribute-value")
+                    del attrs[k]
+                elif k[1] == "xlink" and attrs[k] != XLINK_NS:
+                    self.error("invalid-namespace-attribute-value")
+                    del attrs[k]
         el = self.create_element(name, attrs, namespace)
         parent, before = self.appropriate_place()
         parent.insert_before(el, before)
@@ -1423,7 +1469,7 @@ class TreeBuilder:
             self.mode = IN_TABLE_TEXT
             return token
         if kind == COMMENT:
-            self.insert_comment(token[1])
+            self.insert_comment(token)
             return None
         if kind == DOCTYPE:
             self.error("unexpected-doctype")
@@ -1576,7 +1622,7 @@ class TreeBuilder:
                 return None
             token = (CHARS, data[ws_len:])
         elif kind == COMMENT:
-            self.insert_comment(token[1])
+            self.insert_comment(token)
             return None
         elif kind == DOCTYPE:
             self.error("unexpected-doctype")
@@ -1820,7 +1866,7 @@ class TreeBuilder:
                 self.mode_in_body((CHARS, data[:ws_len]))
             token = (CHARS, data[ws_len:])
         elif kind == COMMENT:
-            self.insert_comment(token[1], self.stack[0])
+            self.insert_comment(token, self.stack[0])
             return None
         elif kind == DOCTYPE:
             self.error("unexpected-doctype")
@@ -1851,7 +1897,7 @@ class TreeBuilder:
                 self.error("unexpected-char-in-frameset")
             return None
         if kind == COMMENT:
-            self.insert_comment(token[1])
+            self.insert_comment(token)
             return None
         if kind == DOCTYPE:
             self.error("unexpected-doctype")
@@ -1899,7 +1945,7 @@ class TreeBuilder:
                 self.error("unexpected-char-after-frameset")
             return None
         if kind == COMMENT:
-            self.insert_comment(token[1])
+            self.insert_comment(token)
             return None
         if kind == DOCTYPE:
             self.error("unexpected-doctype")
@@ -1921,7 +1967,7 @@ class TreeBuilder:
     def mode_after_after_body(self, token):
         kind = token[0]
         if kind == COMMENT:
-            self.insert_comment(token[1], self.doc)
+            self.insert_comment(token, self.doc)
             return None
         if kind == DOCTYPE:
             return self.mode_in_body(token)
@@ -1945,7 +1991,7 @@ class TreeBuilder:
     def mode_after_after_frameset(self, token):
         kind = token[0]
         if kind == COMMENT:
-            self.insert_comment(token[1], self.doc)
+            self.insert_comment(token, self.doc)
             return None
         if kind == DOCTYPE:
             return self.mode_in_body(token)
@@ -1985,7 +2031,7 @@ class TreeBuilder:
             self.insert_text("�" * token[1])
             return None
         if kind == COMMENT:
-            self.insert_comment(token[1])
+            self.insert_comment(token)
             return None
         if kind == DOCTYPE:
             self.error("unexpected-doctype")
