@@ -16,8 +16,8 @@ hot path), each with a DuckDB-oracle twin in ``__spark_entry__.py``:
   (e.g. boilerplate-heavy shingles) can be salted or frequency-capped
   upstream.
 - **SimHash**: 48-bit sign-aggregated fingerprint; near-dup pairs via
-  Hamming distance on xor — here verified band-free (self-join on the
-  top band would be the at-scale index).
+  the pigeonhole band index (radius h → h+1 bands; one band must match
+  exactly) equi-joined on band value, then exact Hamming post-filter.
 
 All hashing is md5-based (``functions.hashing``) so the oracle can
 reproduce values bit-for-bit.
@@ -173,18 +173,45 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     return agg.select("doc_id", sim.alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
+                  bits: int = SIMHASH_BITS) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, via the
+    pigeonhole band index (the 10^12-doc plan — no cartesian).
 
-    Verified pairwise here (fine at test scale); the 10^12-doc plan
-    indexes by band (split the 48 bits into max_hamming+1 bands — by
-    pigeonhole a pair within the radius shares at least one exact band)
-    and joins band-equal candidates only."""
+    The ``bits``-bit fingerprint is split into ``max_hamming + 1``
+    contiguous bands (48 bits / radius 3 → 4 bands of 12 bits). Any
+    pair within the radius differs in at most ``max_hamming`` bit
+    positions, so by pigeonhole at least one band matches *exactly*.
+    Candidate generation is therefore an equi-join on
+    ``(band_idx, band_value)`` — shuffle keyed on the band value,
+    O(bands × docs) index rows — followed by an exact Hamming
+    post-filter. Results are identical to the all-pairs formulation."""
     s = simhash(docs)
-    a, b = s.alias("a"), s.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-            .filter(ham <= max_hamming)
+    n_bands = max_hamming + 1
+    # ceil-split the bit range so every bit lands in exactly one band
+    base = bits // n_bands
+    rem = bits % n_bands
+    widths = [base + (1 if i < rem else 0) for i in range(n_bands)]
+    offs = [sum(widths[:i]) for i in range(n_bands)]
+    bands = F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright(F.col("simhash"), offs[i])
+            .bitwiseAND(F.lit((1 << widths[i]) - 1)).alias("band_val"))
+        for i in range(n_bands)])
+    keyed = (s.select("doc_id", "simhash", F.explode(bands).alias("bk"))
+             .select("doc_id", "simhash",
+                     F.col("bk.band").alias("band"),
+                     F.col("bk.band_val").alias("band_val")))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_val") == F.col("b.band_val"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"),
-                    ham.alias("hamming")))
+                    F.col("a.simhash").alias("sh_a"),
+                    F.col("b.simhash").alias("sh_b"))
+            .distinct())
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.filter(ham <= max_hamming)
+            .select("doc_a", "doc_b", ham.alias("hamming")))

@@ -204,3 +204,28 @@ def test_hash_parity_spark_vs_python(spark):
             f"SELECT {duckdb_base_hash('v')} AS h FROM "
             f"(SELECT '{s}' AS v)").fetchall()[0][0]
         assert py == sp == dk, s
+
+
+def test_simhash_banded_pairs_match_allpairs_no_cartesian(spark):
+    """The pigeonhole band index must (a) produce exactly the all-pairs
+    result and (b) compile to an equi-join — never a cartesian /
+    nested-loop join (the 10^12-doc scale requirement)."""
+    from html_parser_spark.operators import dedup
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text").filter(F.col("doc_id") < 200)
+    for h in (3, 12):
+        banded = dedup.simhash_pairs(docs, max_hamming=h)
+        plan = banded._jdf.queryExecution().executedPlan().toString()
+        assert "Cartesian" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        s = dedup.simhash(docs)
+        a, b = s.alias("a"), s.alias("b")
+        ham = F.bit_count(
+            F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        truth = (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+                 .filter(ham <= h)
+                 .select(F.col("a.doc_id").alias("doc_a"),
+                         F.col("b.doc_id").alias("doc_b"),
+                         ham.alias("hamming")))
+        assert banded.exceptAll(truth).count() == 0
+        assert truth.exceptAll(banded).count() == 0
