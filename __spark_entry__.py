@@ -147,6 +147,108 @@ sh AS (SELECT doc_id, ({packed})::bigint AS simhash FROM bitsums)
 
 
 _SIM_QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7]
+_EMB_DIM = 64
+_LSH_PLANES = 4
+_LSH_TABLES = 8
+_IVF_CLUSTERS = 8
+_IVF_NPROBE = 3
+
+
+def _unrolled_dot_sql(coeffs: list[float], vec_expr: str) -> str:
+    """Left-associated sum of per-dimension products — bit-identical to
+    Spark's ``aggregate(zip_with(lit_array, vec, x*y), 0.0, acc+x)``
+    left fold (float→double casts are exact; ``repr`` literals
+    round-trip to the same doubles)."""
+    return "(" + " + ".join(
+        f"({coeffs[d]!r})*{vec_expr}[{d + 1}]::DOUBLE"
+        for d in range(len(coeffs))) + ")"
+
+
+def _pairwise_dot_sql(a_expr: str, b_expr: str, dim: int) -> str:
+    """Left-folded dot of two table vectors, dimension-unrolled so the
+    summation order matches both Spark's fold and Python's sum()."""
+    return "(" + " + ".join(
+        f"{a_expr}[{d}]::DOUBLE*{b_expr}[{d}]::DOUBLE"
+        for d in range(1, dim + 1)) + ")"
+
+
+def _lsh_keys_cte() -> str:
+    """(vec_id, tbl, bucket) per embedding row per LSH table, with the
+    deterministic md5-derived hyperplanes inlined as double literals —
+    the closed-form twin of similarity.bucket_keys."""
+    selects = []
+    for t in range(_LSH_TABLES):
+        planes = similarity.hyperplanes(_EMB_DIM, _LSH_PLANES, t)
+        bucket = " + ".join(
+            f"(CASE WHEN {_unrolled_dot_sql(planes[p], 'embedding')} > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(_LSH_PLANES))
+        selects.append(f"SELECT vec_id, {t} AS tbl, ({bucket}) AS bucket "
+                       f"FROM embeddings")
+    return "keys AS (" + " UNION ALL ".join(selects) + ")"
+
+
+def _ann_lsh_sql() -> str:
+    qids = ", ".join(str(i) for i in _SIM_QUERY_IDS)
+    return f"""
+WITH {_lsh_keys_cte()},
+qk AS (SELECT vec_id AS q_id, tbl, bucket FROM keys WHERE vec_id IN ({qids})),
+cand AS (SELECT DISTINCT q.q_id, k.vec_id AS neighbor_id
+         FROM keys k JOIN qk q ON k.tbl = q.tbl AND k.bucket = q.bucket
+         WHERE k.vec_id <> q.q_id),
+s AS (SELECT c.q_id, c.neighbor_id,
+             list_cosine_similarity(e.embedding::DOUBLE[],
+                                    qe.embedding::DOUBLE[]) AS cos
+      FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id
+                  JOIN embeddings qe ON qe.vec_id = c.q_id),
+r AS (SELECT q_id, neighbor_id,
+             (row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cos DESC, neighbor_id ASC))::bigint
+               AS rank,
+             round(cos, 4) AS cosine_r4
+      FROM s)
+SELECT q_id, neighbor_id, rank, cosine_r4 FROM r WHERE rank <= 5"""
+
+
+def _ann_ivf_sql() -> str:
+    """Closed-form IVF oracle: sampled-centroid coarse quantizer
+    (centroids = the {_IVF_CLUSTERS} smallest vec_ids, i.e. iters=0 —
+    no Lloyd refinement, so the whole index is a pure function of the
+    table). dist = |c|^2 - 2*x.c with both terms dimension-unrolled to
+    reproduce Spark's fold order bit-for-bit."""
+    qids = ", ".join(str(i) for i in _SIM_QUERY_IDS)
+    dot_xc = _pairwise_dot_sql("x.embedding", "c.embedding", _EMB_DIM)
+    norm2 = _pairwise_dot_sql("embedding", "embedding", _EMB_DIM)
+    return f"""
+WITH cents AS (SELECT vec_id AS c_id, embedding, {norm2} AS norm2
+               FROM embeddings ORDER BY vec_id LIMIT {_IVF_CLUSTERS}),
+dist AS (SELECT x.vec_id, c.c_id, c.norm2 - 2.0*{dot_xc} AS d
+         FROM embeddings x, cents c),
+assign AS (SELECT vec_id, c_id AS cluster FROM (
+             SELECT vec_id, c_id,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d ASC, c_id ASC) AS rn
+             FROM dist) WHERE rn = 1),
+probes AS (SELECT vec_id AS q_id, c_id AS q_cluster FROM (
+             SELECT vec_id, c_id,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d ASC, c_id ASC) AS rn
+             FROM dist WHERE vec_id IN ({qids})) WHERE rn <= {_IVF_NPROBE}),
+cand AS (SELECT p.q_id, a.vec_id AS neighbor_id
+         FROM assign a JOIN probes p ON a.cluster = p.q_cluster
+         WHERE a.vec_id <> p.q_id),
+s AS (SELECT c.q_id, c.neighbor_id,
+             list_cosine_similarity(e.embedding::DOUBLE[],
+                                    qe.embedding::DOUBLE[]) AS cos
+      FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id
+                  JOIN embeddings qe ON qe.vec_id = c.q_id),
+r AS (SELECT q_id, neighbor_id,
+             (row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cos DESC, neighbor_id ASC))::bigint
+               AS rank,
+             round(cos, 4) AS cosine_r4
+      FROM s)
+SELECT q_id, neighbor_id, rank, cosine_r4 FROM r WHERE rank <= 5"""
 
 
 # ---------------------------------------------------------------- Spark
@@ -270,10 +372,14 @@ def _q_sim_topk(spark, sf_dir):
 
 
 def _q_sim_lsh(spark, sf_dir):
-    # ANN path: no closed-form SQL oracle (bucketing); rows-only check,
-    # recall vs exact top-k is asserted in tests/test_spark_operators.py
+    # ANN path WITH a closed-form oracle: the md5-derived hyperplanes
+    # are deterministic doubles, so bucket assignment + candidate join
+    # + exact rerank are reproduced verbatim in _ann_lsh_sql(); recall
+    # vs exact top-k is additionally asserted in tests.
     return (similarity.hyperplane_lsh_topk(_emb(spark, sf_dir),
-                                           _SIM_QUERY_IDS, dim=64, k=5)
+                                           _SIM_QUERY_IDS, dim=_EMB_DIM,
+                                           k=5, n_planes=_LSH_PLANES,
+                                           n_tables=_LSH_TABLES)
             .select("q_id", "neighbor_id",
                     F.col("rank").cast("long").alias("rank"), "cosine_r4"))
 
@@ -345,10 +451,14 @@ def _q_multimodal_frames(spark, sf_dir):
 
 def _q_sim_ivf(spark, sf_dir):
     # IVF scale path: cluster-partitioned index, nprobe-bounded probe,
-    # exact rerank. No closed-form SQL oracle (iterative k-means);
-    # rows-only check + recall floor in tests.
+    # exact rerank. This driver variant uses the sampled-centroid
+    # coarse quantizer (iters=0: centroids = the k smallest vec_ids,
+    # no Lloyd refinement) so the whole index is a deterministic pure
+    # function of the table and _ann_ivf_sql() is a full value oracle.
+    # The Lloyd-trained path (iters=2) keeps its recall-floor pytest.
     return (similarity.ivf_topk(_emb(spark, sf_dir), _SIM_QUERY_IDS, k=5,
-                                n_clusters=8, nprobe=3)
+                                n_clusters=_IVF_CLUSTERS,
+                                nprobe=_IVF_NPROBE, iters=0)
             .select("q_id", "neighbor_id",
                     F.col("rank").cast("long").alias("rank"), "cosine_r4"))
 
@@ -469,6 +579,8 @@ r AS (SELECT q_id, neighbor_id,
              round(c, 4) AS cosine_r4
       FROM s)
 SELECT q_id, neighbor_id, rank, cosine_r4 FROM r WHERE rank <= 5""",
+        "similarity_ann_lsh": _ann_lsh_sql(),
+        "similarity_ann_ivf": _ann_ivf_sql(),
         "curation_pipeline": f"""
 SELECT {URL_SQL} || '?c=0' AS kept_url
 FROM documents WHERE length({TEXT_SQL}) >= 200""",
