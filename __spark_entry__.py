@@ -430,11 +430,13 @@ def _q_conformance(spark, sf_dir):
 
 
 def _q_multimodal_decode(spark, sf_dir):
-    """Binary media columns → decoded metadata (decode step is the
-    deterministic stub; the Spark plumbing — binary payload column,
-    Arrow batching, error isolation — is the real path)."""
+    """Binary media columns → decoded metadata via REAL stdlib codecs
+    (PNG chunk walk + CRC, GIF block walk + frame count, RIFF/WAVE
+    chunk walk). The oracle recomputes every decoded field AND the
+    payload byte count from the generator's closed-form parameters —
+    the decode path is value-verified end-to-end."""
     media = multimodal.media_df_from_docs(spark, sf_dir)
-    return (multimodal.decode_media(media, fake=True)
+    return (multimodal.decode_media(media)
             .select("media_id", "kind",
                     F.col("width").cast("long").alias("width"),
                     F.col("height").cast("long").alias("height"),
@@ -444,7 +446,7 @@ def _q_multimodal_decode(spark, sf_dir):
 
 def _q_multimodal_frames(spark, sf_dir):
     media = multimodal.media_df_from_docs(spark, sf_dir)
-    return (multimodal.frame_sample(media, every_n=30, fake=True)
+    return (multimodal.frame_sample(media, every_n=30)
             .select("media_id",
                     F.col("frame_idx").cast("long").alias("frame_idx")))
 
@@ -589,26 +591,33 @@ SELECT doc_id, replace(text, ' ', '') AS frag_text, true AS ok
 FROM documents""",
         "multimodal_decode": """
 WITH m AS (
-  SELECT doc_id * 2 AS media_id, 'image' AS kind,
-         (64 + (doc_id * 37) % 1985)::bigint AS width,
-         (64 + (doc_id * 91) % 1017)::bigint AS height,
-         1::bigint AS n_frames
-  FROM documents
+  SELECT doc_id * 4 AS media_id, 'image' AS kind FROM documents
   UNION ALL
-  SELECT doc_id * 2 + 1, 'video',
-         (64 + (doc_id * 37) % 1985)::bigint,
-         (64 + (doc_id * 91) % 1017)::bigint,
-         (1 + doc_id % 120)::bigint
-  FROM documents WHERE doc_id % 3 = 0)
-SELECT media_id, kind, width, height, n_frames,
-       (20 + (width * height) % 4096 + 128)::bigint AS payload_bytes,
+  SELECT doc_id * 4 + 1, 'video' FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id * 4 + 2, 'audio' FROM documents WHERE doc_id % 5 = 0)
+SELECT media_id, kind,
+       (CASE kind WHEN 'image' THEN 16 + (media_id * 37) % 97
+                  WHEN 'video' THEN 64 + (media_id * 37) % 449
+                  ELSE 8000 END)::bigint AS width,
+       (CASE kind WHEN 'image' THEN 16 + (media_id * 91) % 61
+                  WHEN 'video' THEN 64 + (media_id * 91) % 257
+                  ELSE 1 END)::bigint AS height,
+       (CASE kind WHEN 'image' THEN 1
+                  WHEN 'video' THEN 1 + media_id % 120
+                  ELSE 500 + (media_id * 53) % 8000 END)::bigint AS n_frames,
+       (CASE kind
+          WHEN 'image' THEN
+            (16 + (media_id * 91) % 61) * (17 + (media_id * 37) % 97) + 68
+          WHEN 'video' THEN 20 + 166 * (1 + media_id % 120)
+          ELSE 544 + (media_id * 53) % 8000 END)::bigint AS payload_bytes,
        true AS ok
 FROM m""",
         "multimodal_frame_sample": """
-WITH v AS (SELECT doc_id * 2 + 1 AS media_id,
-                  (1 + doc_id % 120) AS frames
-           FROM documents WHERE doc_id % 3 = 0)
-SELECT media_id, unnest(generate_series(0, frames - 1, 30))::bigint AS frame_idx
+WITH v AS (SELECT doc_id * 4 + 1 AS media_id FROM documents
+           WHERE doc_id % 3 = 0)
+SELECT media_id,
+       unnest(generate_series(0, media_id % 120, 30))::bigint AS frame_idx
 FROM v""",
         "text_stats": f"""
 WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)

@@ -1,12 +1,28 @@
 """Multimodal columns: images/audio/video as opaque ``binary`` payloads
 with typed metadata, processed by Arrow-batched kernels.
 
-The Spark-side plumbing is real and tested — schemas, partitioning,
-``mapInPandas`` batch shape, error isolation. The *codec* step is
-stubbed (no image/audio libraries in this container): ``decode_image``
-raises ``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake decoder parses the synthetic header our generator
-writes. Swapping in Pillow/ffmpeg later only replaces ``_decode_one``.
+The codecs are REAL, stdlib-only format implementations:
+
+- **image → PNG**: full valid files (signature, IHDR/IDAT/IEND chunks
+  with correct CRC32s, zlib level-0 stored-block IDAT). The decoder
+  walks chunks, CRC-checks IHDR and reads the true dimensions.
+- **video → animated GIF**: GIF89a with a global color table, one
+  graphic-control-extension + image-descriptor + genuine LZW stream
+  per frame (minimal reset-per-literal LZW — decoder-valid). The
+  decoder parses the logical screen descriptor and counts image
+  descriptors by walking the sub-block structure.
+- **audio → WAV**: RIFF/WAVE with fmt and data chunks, 8-bit mono
+  PCM. The decoder walks RIFF chunks and derives sample count from
+  the data size and the fmt block. (Writer round-trips through the
+  stdlib ``wave`` module in tests — an independent format check.)
+
+Formats that genuinely need external libraries (e.g. JPEG) stay
+honestly gated behind ``NotImplementedError``.
+
+Because the level-0 zlib stream, the fixed-frame LZW stream and the
+PCM layout have deterministic sizes, every decoded field *and* the
+payload byte count are closed-form SQL over ``media_id`` — the DuckDB
+oracle checks real decodes end-to-end.
 
 At 100 TB the shape matters more than the codec:
 
@@ -22,6 +38,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -29,36 +46,219 @@ import pandas as pd
 MEDIA_SCHEMA = ("media_id long, kind string, payload binary, "
                 "declared_w int, declared_h int")
 
-_MAGIC = b"FAKEIMG1"
+GIF_FRAME_W, GIF_FRAME_H = 16, 12
+WAV_RATE = 8000
 
 
-def make_fake_payload(media_id: int, kind: str = "image") -> bytes:
-    """Deterministic synthetic media payload: an 8-byte magic, a packed
-    (w, h, n_frames) header, then md5-stream filler bytes."""
-    w = 64 + (media_id * 37) % 1985
-    h = 64 + (media_id * 91) % 1017
-    frames = 1 if kind == "image" else 1 + media_id % 120
-    body_len = (w * h) % 4096 + 128
-    seed = hashlib.md5(f"{kind}:{media_id}".encode()).digest()
-    body = (seed * (body_len // 16 + 1))[:body_len]
-    return _MAGIC + struct.pack("<III", w, h, frames) + body
+# ------------------------------------------------------------ params
+# Every decoded field is a pure function of media_id — mirrored by the
+# multimodal oracle SQL in __spark_entry__.py (keep in lockstep!).
+
+def image_dims(media_id: int) -> tuple[int, int]:
+    return 16 + (media_id * 37) % 97, 16 + (media_id * 91) % 61
 
 
-def _decode_one(payload: bytes, fake: bool) -> tuple[int, int, int]:
-    if not fake:
-        raise NotImplementedError(
-            "real image/audio decoding requires Pillow/ffmpeg (not in "
-            "this container); pass fake=True for the deterministic stub")
-    if payload[:8] != _MAGIC:
-        raise ValueError("bad magic")
-    w, h, frames = struct.unpack("<III", payload[8:20])
+def video_params(media_id: int) -> tuple[int, int, int]:
+    return (64 + (media_id * 37) % 449, 64 + (media_id * 91) % 257,
+            1 + media_id % 120)
+
+
+def audio_samples(media_id: int) -> int:
+    return 500 + (media_id * 53) % 8000
+
+
+def _fill(seed: str, n: int) -> bytes:
+    d = hashlib.md5(seed.encode()).digest()
+    return (d * (n // 16 + 1))[:n]
+
+
+# ------------------------------------------------------------ writers
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data)))
+
+
+def make_png(media_id: int) -> bytes:
+    """Valid 8-bit grayscale PNG; IDAT is zlib level-0 (stored blocks)
+    so the file size is closed-form: len = h*(w+1) + 68 for raw
+    scanline bytes < 64 KiB (2-byte zlib hdr + 5-byte stored-block hdr
+    + raw + 4-byte adler, plus 8 sig + 25 IHDR + 12 IDAT + 12 IEND)."""
+    w, h = image_dims(media_id)
+    px = _fill(f"png:{media_id}", w * h)
+    raw = b"".join(b"\x00" + px[r * w:(r + 1) * w] for r in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw, 0))
+            + _png_chunk(b"IEND", b""))
+
+
+def _gif_lzw(pixels: bytes) -> bytes:
+    """Minimal genuine LZW for a 4-color palette (min code size 2,
+    3-bit codes): CLEAR before every literal so the dictionary never
+    grows and the code width stays fixed — decoder-valid, and the
+    output size is exactly ceil(3*(2*n+1)/8) bytes."""
+    clear, eoi = 4, 5
+    codes = [clear]
+    for p in pixels:
+        codes.append(p & 3)
+        codes.append(clear)
+    codes[-1] = eoi
+    acc = n_bits = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << n_bits
+        n_bits += 3
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _sub_blocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def make_gif(media_id: int) -> bytes:
+    """Valid animated GIF89a: logical screen = the video's display
+    dims, each frame a 16x12 image descriptor with a real LZW stream.
+    Size is closed-form: 20 + 166*frames (19 header+GCT, 1 trailer,
+    per frame 8 GCE + 10 descriptor + 1 min-code + 147 sub-blocked
+    LZW for 192 pixels)."""
+    w, h, frames = video_params(media_id)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80, 0, 0)  # GCT, 2 colors
+    out += bytes([0, 0, 0, 255, 255, 255])
+    npix = GIF_FRAME_W * GIF_FRAME_H
+    for f in range(frames):
+        out += bytes([0x21, 0xF9, 0x04, 0x00, 0x04, 0x00, 0x00, 0x00])
+        out += b"\x2C" + struct.pack("<HHHHB", 0, 0,
+                                     GIF_FRAME_W, GIF_FRAME_H, 0)
+        px = bytes(b & 1 for b in _fill(f"gif:{media_id}:{f}", npix))
+        out += b"\x02" + _sub_blocks(_gif_lzw(px))
+    out += b"\x3B"
+    return bytes(out)
+
+
+def make_wav(media_id: int) -> bytes:
+    """Valid RIFF/WAVE, 8-bit mono PCM at 8 kHz. Size = 44 + n."""
+    n = audio_samples(media_id)
+    data = _fill(f"wav:{media_id}", n)
+    return (b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, WAV_RATE,
+                                    WAV_RATE, 1, 8)
+            + b"data" + struct.pack("<I", n) + data)
+
+
+# ------------------------------------------------------------ decoders
+
+def decode_png(b: bytes) -> tuple[int, int, int]:
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("bad PNG signature")
+    pos = 8
+    while pos + 8 <= len(b):
+        (clen,) = struct.unpack(">I", b[pos:pos + 4])
+        tag = b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + clen]
+        (crc,) = struct.unpack(">I", b[pos + 8 + clen:pos + 12 + clen])
+        if tag == b"IHDR":
+            if clen != 13 or zlib.crc32(tag + data) != crc:
+                raise ValueError("corrupt IHDR")
+            w, h = struct.unpack(">II", data[:8])
+            return w, h, 1
+        pos += 12 + clen
+    raise ValueError("no IHDR")
+
+
+def decode_gif(b: bytes) -> tuple[int, int, int]:
+    if b[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("bad GIF signature")
+    w, h, flags, _, _ = struct.unpack("<HHBBB", b[6:13])
+    pos = 13
+    if flags & 0x80:
+        pos += 3 * (2 << (flags & 7))
+    frames = 0
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while b[pos]:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            frames += 1
+            lflags = b[pos + 8]
+            pos += 9
+            if lflags & 0x80:
+                pos += 3 * (2 << (lflags & 7))
+            pos += 1  # LZW min code size
+            while b[pos]:
+                pos += 1 + b[pos]
+            pos += 1
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+    if not frames:
+        raise ValueError("no frames")
     return w, h, frames
 
 
-def decode_media(media_df, fake: bool = True):
+def decode_wav(b: bytes) -> tuple[int, int, int]:
+    """Returns (sample_rate, n_channels, n_samples)."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("bad RIFF/WAVE header")
+    pos = 12
+    rate = channels = bits = None
+    n_samples = None
+    while pos + 8 <= len(b):
+        tag = b[pos:pos + 4]
+        (clen,) = struct.unpack("<I", b[pos + 4:pos + 8])
+        if tag == b"fmt ":
+            _, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", b[pos + 8:pos + 24])
+        elif tag == b"data":
+            if channels is None:
+                raise ValueError("data before fmt")
+            n_samples = clen * 8 // (bits * channels)
+        pos += 8 + clen + (clen & 1)
+    if rate is None or n_samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, channels, n_samples
+
+
+def _decode_one(payload: bytes) -> tuple[int, int, int]:
+    """Dispatch on magic bytes → (width, height, n_frames) for visual
+    media, (sample_rate, n_channels, n_samples) for audio."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
+    if payload[:3] == b"GIF":
+        return decode_gif(payload)
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)
+    if payload[:2] == b"\xff\xd8":
+        raise NotImplementedError(
+            "JPEG decoding requires Pillow (not in this container)")
+    raise ValueError("unsupported media format")
+
+
+def decode_media(media_df):
     """(media_id, kind, payload, ...) -> decoded metadata + a feature
     digest per item. Returns
-    (media_id, kind, width, height, n_frames, payload_bytes, feat, ok)."""
+    (media_id, kind, width, height, n_frames, payload_bytes, feat, ok).
+    For audio, (width, height, n_frames) carry
+    (sample_rate, n_channels, n_samples)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -67,7 +267,7 @@ def decode_media(media_df, fake: bool = True):
                                           pdf["payload"]):
                 raw = bytes(payload) if payload is not None else b""
                 try:
-                    w, h, frames = _decode_one(raw, fake)
+                    w, h, frames = _decode_one(raw)
                     feat = hashlib.md5(raw).hexdigest()
                     rows.append((int(mid), kind, w, h, frames,
                                  len(raw), feat, True))
@@ -84,10 +284,10 @@ def decode_media(media_df, fake: bool = True):
                      "ok boolean"))
 
 
-def frame_sample(media_df, every_n: int = 30, fake: bool = True):
-    """Video frame sampling plumbing: one output row per sampled frame
-    index (decode stubbed; indices real). Demonstrates the 1→N fan-out
-    shape (mapInPandas emitting more rows than it consumes)."""
+def frame_sample(media_df, every_n: int = 30):
+    """Video frame sampling: decode the GIF frame count, emit one row
+    per sampled frame index. Demonstrates the 1→N fan-out shape
+    (mapInPandas emitting more rows than it consumes)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -98,7 +298,7 @@ def frame_sample(media_df, every_n: int = 30, fake: bool = True):
                     continue
                 raw = bytes(payload) if payload is not None else b""
                 try:
-                    _, _, frames = _decode_one(raw, fake)
+                    _, _, frames = _decode_one(raw)
                 except Exception:
                     continue
                 for idx in range(0, frames, every_n):
@@ -115,20 +315,25 @@ def frame_sample(media_df, every_n: int = 30, fake: bool = True):
 
 def media_df_from_docs(spark, sf_dir: str):
     """Deterministic synthetic media table keyed off documents: every
-    doc gets one image; every 3rd doc a video."""
+    doc gets one PNG image (media_id = doc_id*4); every 3rd doc an
+    animated-GIF video (doc_id*4 + 1); every 5th doc a WAV audio clip
+    (doc_id*4 + 2)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                p = make_fake_payload(did, "image")
-                w, h, _ = struct.unpack("<III", p[8:20])
-                rows.append((did * 2, "image", p, w, h))
+                mid = did * 4
+                w, h = image_dims(mid)
+                rows.append((mid, "image", make_png(mid), w, h))
                 if did % 3 == 0:
-                    pv = make_fake_payload(did, "video")
-                    w, h, _ = struct.unpack("<III", pv[8:20])
-                    rows.append((did * 2 + 1, "video", pv, w, h))
+                    mid = did * 4 + 1
+                    w, h, _ = video_params(mid)
+                    rows.append((mid, "video", make_gif(mid), w, h))
+                if did % 5 == 0:
+                    mid = did * 4 + 2
+                    rows.append((mid, "audio", make_wav(mid), 0, 0))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "payload",
                                               "declared_w", "declared_h"])
 
