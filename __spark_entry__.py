@@ -60,8 +60,10 @@ ENC_SQL = ("(CASE doc_id % 10 " + " ".join(
     + " END)")
 QUIRKS_SQL = "(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END)::bigint"
 _ERR_BUCKETS = ", ".join(str(k) for k, v in sorted(EXTRAS.items()) if v[2])
-HAS_ERRORS_SQL = (f"(doc_id % 11 = 0 OR doc_id % 7 = 3 "
-                  f"OR doc_id % 23 IN ({_ERR_BUCKETS}))")
+HAS_ERRORS_SQL = (
+    f"(doc_id % 11 = 0 "
+    f"OR (doc_id % 7 = 3 AND len(string_split(text, ' ')) >= 3) "
+    f"OR doc_id % 23 IN ({_ERR_BUCKETS}))")
 # exact parse-error count, empirically pinned per content bucket:
 # quirks doctype → 1; misnested formatting → 1 per paragraph (× rep);
 # extras buckets: foster-stray 1, charrefs 3 (two legacy-no-semicolon +

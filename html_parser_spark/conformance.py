@@ -134,7 +134,11 @@ def load_dat_cases(path: str, keys: tuple[str, ...]):
     return out
 
 
-def load_tree_cases(path: str):
+def load_tree_cases(path: str, pi: bool = False):
+    """``pi`` is the explicit per-suite PI-preservation flag: pass
+    True for suites authored against the reference's non-standard
+    processing-instruction option (its bundled tree cases), False for
+    stock html5lib-format suites."""
     cases = load_dat_cases(
         path, ("data", "errors", "new-errors", "document-fragment", "document",
                "script-on", "script-off"))
@@ -143,6 +147,7 @@ def load_tree_cases(path: str):
         if "data" not in c or "document" not in c:
             continue
         result.append({
+            "pi": pi,
             "case_id": f"{os.path.basename(path)}:{i}",
             "input": c["data"].decode("utf-8"),
             "fragment": c.get("document-fragment", b"").decode("utf-8").strip() or None,
@@ -157,12 +162,12 @@ def load_tree_cases(path: str):
 
 def run_tree_case(case: dict) -> tuple[str, str]:
     scripting = bool(case.get("scripting"))
+    # explicit per-suite configuration, set by load_tree_cases(pi=...):
     # the reference runs its tree suite with its non-standard
-    # PI-preservation option on (TestTreeConstructor.php:83); enable it
-    # when the golden tree actually contains a PI node so both
-    # reference-style and stock html5lib expectations pass
-    import re as _re
-    pi = _re.search(r"^\| +<\?", case["expected"], _re.M) is not None
+    # PI-preservation option on (TestTreeConstructor.php:83), stock
+    # html5lib suites run with it off — the flag comes from the suite
+    # loader, never from sniffing the expected output
+    pi = bool(case.get("pi"))
     if case["fragment"]:
         frag = parse_fragment(case["input"], case["fragment"],
                               scripting=scripting, pi=pi)

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import os
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -160,11 +161,19 @@ def run_extraction(spark: SparkSession, pages: DataFrame, output_path: str,
     else:
         parted = skew_isolate(pages, parts)
     result = extract_pages(parted, with_spans=with_spans)
+    # tag rows with this run's id so the report covers exactly what
+    # THIS run wrote — on a resumed output path the committed table
+    # holds earlier runs too (whole-table totals stay a separate field)
+    rid = uuid.uuid4().hex
+    result = result.withColumn("run_id", F.lit(rid))
     t0 = time.monotonic()
     result.write.mode("append").parquet(output_path)
     wall = time.monotonic() - t0
-    report = run_report(spark.read.parquet(output_path))
+    committed = spark.read.parquet(output_path)
+    report = run_report(committed.filter(F.col("run_id") == rid))
+    report["run_id"] = rid
     report["wall_s"] = round(wall, 3)
+    report["table_docs"] = committed.count()
     return report
 
 

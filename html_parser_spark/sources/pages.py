@@ -24,8 +24,9 @@ reference covers (/root/reference/lib/Parser.php:49-142):
   (every ``doc_id % 7 == 3``) that drives the adoption-agency algorithm —
   textContent order is invariant under adoption, so the golden text is
   unaffected;
-- skew: every 97th doc repeats its body 50×, every 13th 8× ("giant
-  documents"), so the salting path in the job plan has something to do.
+- skew: every 997th doc repeats its body 8000× (~MB-scale giants),
+  every 97th 2000×, every 13th 8× (see ``rep_factor``), so the salting
+  path in the job plan has something to do.
 
 Generation runs **distributed** (a pandas batch kernel under
 ``mapInPandas``), never on the driver.
@@ -152,12 +153,15 @@ def expected_text(doc_id: int, text: str, lang: str, source: str) -> str:
     return base
 
 
-def has_parse_errors(doc_id: int) -> bool:
+def has_parse_errors(doc_id: int, text: str = None) -> bool:
     """Which docs the parse reports errors for (oracle mirror): missing
-    doctype (quirks), misnested formatting, or an error-carrying extras
-    bucket."""
+    doctype (quirks), misnested formatting (only when the doc has ≥3
+    words — shorter docs don't get the misnested variant, see
+    _paragraph), or an error-carrying extras bucket."""
     extra = EXTRAS.get(doc_id % 23)
-    return (doc_id % 11 == 0 or doc_id % 7 == 3
+    misnested = doc_id % 7 == 3 and (
+        text is None or len(text.split(" ")) >= 3)
+    return (doc_id % 11 == 0 or misnested
             or (extra is not None and extra[2]))
 
 

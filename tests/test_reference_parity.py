@@ -36,7 +36,7 @@ def _files(sub, suffix):
 _TOK = [c for p in _files("tokenizer", ".test")
         for c in conf.load_tokenizer_cases(p)]
 _TREE = [c for p in _files("tree-construction", ".dat")
-         for c in conf.load_tree_cases(p)]
+         for c in conf.load_tree_cases(p, pi=True)]
 _ENC = [c for p in _files("encoding", ".dat")
         for c in conf.load_encoding_cases(p)]
 _SER = [c for p in _files("serializer", ".dat")

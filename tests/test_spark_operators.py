@@ -75,14 +75,18 @@ def test_run_extraction_resume(spark, pages):
                             with_spans=False)
         n1 = r1["docs"]
         assert 0 < n1 < 500
-        # second run over the full corpus: only the remainder is parsed
+        assert r1["table_docs"] == n1
+        # second run over the full corpus: only the remainder is
+        # parsed, and the report counts exactly this run's rows
         r2 = run_extraction(spark, pages, f"{tmp}/out", num_partitions=4,
                             with_spans=False)
-        assert r2["docs"] == 500
+        assert r2["docs"] == 500 - n1
+        assert r2["table_docs"] == 500
         # third run: nothing new, output unchanged (no duplicate rows)
         r3 = run_extraction(spark, pages, f"{tmp}/out", num_partitions=4,
                             with_spans=False)
-        assert r3["docs"] == 500
+        assert r3["docs"] == 0
+        assert r3["table_docs"] == 500
         urls = spark.read.parquet(f"{tmp}/out").select("url")
         assert urls.count() == urls.distinct().count() == 500
     finally:
