@@ -87,14 +87,24 @@ def run_tokenizer_case(case: dict, state: int):
 
 def run_tokenizer_errors(case: dict, state: int):
     """Returns (actual_error_codes, expected_error_codes) as sorted
-    lists. Positions aren't tracked (production path skips them, like
-    the reference's no-error-handler mode — Data.php:56-57), so only
-    code multisets are compared."""
+    lists. The production path never tracks positions (mirroring the
+    reference's no-error-handler mode — Data.php:56-57), so the plain
+    runner compares code multisets; when every expected error carries
+    ``line``/``col`` the comparison upgrades to full (code, line, col)
+    tuples via the debug-mode tracker."""
+    expected_errs = case.get("errors", [])
+    with_pos = bool(expected_errs) and all(
+        "line" in e and "col" in e for e in expected_errs)
     t = tz.Tokenizer(case["input"], initial_state=state,
-                     last_start_tag=case.get("lastStartTag"))
+                     last_start_tag=case.get("lastStartTag"),
+                     track_positions=with_pos)
     for _ in t.tokenize():
         pass
-    expected = sorted(e["code"] for e in case.get("errors", []))
+    if with_pos:
+        expected = sorted((e["code"], e["line"], e["col"])
+                          for e in expected_errs)
+        return sorted(t.error_positions()), expected
+    expected = sorted(e["code"] for e in expected_errs)
     return sorted(t.errors), expected
 
 

@@ -16,11 +16,13 @@ from .treebuilder import EncodingChangeRequired, TreeBuilder
 
 class Output:
     __slots__ = ("document", "encoding", "quirks_mode", "errors",
-                 "n_tokens", "n_elements")
+                 "n_tokens", "n_elements", "error_positions")
 
     def __init__(self, document: Document, encoding: str, quirks_mode: int,
                  errors: list[str], n_tokens: int = 0,
-                 n_elements: int = 0) -> None:
+                 n_elements: int = 0,
+                 error_positions: list[tuple[str, int, int]] | None = None
+                 ) -> None:
         self.document = document
         self.encoding = encoding
         self.quirks_mode = quirks_mode
@@ -28,24 +30,36 @@ class Output:
         # tokenizer / tree-builder counters (north-star per-doc metrics)
         self.n_tokens = n_tokens
         self.n_elements = n_elements
+        # debug mode only (track_positions=True): tokenizer-level
+        # (code, line, col) tuples, 1-based, html5lib/reference format
+        # (ParseErrorEmitter.php:62-69); None on the production path
+        self.error_positions = error_positions
 
 
-def _parse_text(text: str, scripting: bool, meta_hook=None, pi: bool = False):
-    t = tz.Tokenizer(text)
+def _parse_text(text: str, scripting: bool, meta_hook=None, pi: bool = False,
+                track_positions: bool = False):
+    t = tz.Tokenizer(text, track_positions=track_positions)
     tb = TreeBuilder(t, scripting=scripting, meta_encoding_hook=meta_hook,
                      processing_instructions=pi)
     doc = tb.run()
-    return doc, t.errors + tb.errors, tb
+    positions = t.error_positions() if track_positions else None
+    return doc, t.errors + tb.errors, tb, positions
 
 
 def parse(data: bytes | str, transport_charset: str | None = None,
           fallback: str = "windows-1252", scripting: bool = False,
-          prescan_bytes: int = 1024, pi: bool = False) -> Output:
-    """Parse a full HTML document from raw bytes (or pre-decoded text)."""
+          prescan_bytes: int = 1024, pi: bool = False,
+          track_positions: bool = False) -> Output:
+    """Parse a full HTML document from raw bytes (or pre-decoded text).
+
+    ``track_positions=True`` enables the debug/conformance mode that
+    records (line, col) per tokenizer error — gated so the production
+    path pays no bookkeeping (reference parity: Data.php:56-57)."""
     if isinstance(data, str):
-        doc, errors, tb = _parse_text(data, scripting, pi=pi)
+        doc, errors, tb, positions = _parse_text(
+            data, scripting, pi=pi, track_positions=track_positions)
         return Output(doc, "utf-8", doc.quirks_mode, errors,
-                      tb.n_tokens, tb.n_elements)
+                      tb.n_tokens, tb.n_elements, positions)
 
     encoding, certain = charset.sniff(data, transport_charset, fallback, prescan_bytes)
     for _attempt in range(2):
@@ -70,9 +84,9 @@ def parse(data: bytes | str, transport_charset: str | None = None,
             raise EncodingChangeRequired(new_enc)
 
         try:
-            doc, errors, tb = _parse_text(text, scripting,
-                                          meta_hook if not certain else None,
-                                          pi=pi)
+            doc, errors, tb, positions = _parse_text(
+                text, scripting, meta_hook if not certain else None,
+                pi=pi, track_positions=track_positions)
         except EncodingChangeRequired as e:
             encoding = e.encoding
             certain = True
@@ -80,7 +94,7 @@ def parse(data: bytes | str, transport_charset: str | None = None,
         if changed:
             encoding = changed[-1]
         return Output(doc, encoding, doc.quirks_mode, errors,
-                      tb.n_tokens, tb.n_elements)
+                      tb.n_tokens, tb.n_elements, positions)
     raise AssertionError("unreachable: at most one encoding restart")
 
 

@@ -106,10 +106,12 @@ def _lower(s: str) -> str:
 class Tokenizer:
     """Generator-based tokenizer over a decoded, CR-normalized string."""
 
-    __slots__ = ("s", "n", "pos", "state", "last_start_tag", "cdata_ok", "errors")
+    __slots__ = ("s", "n", "pos", "state", "last_start_tag", "cdata_ok",
+                 "errors", "offsets")
 
     def __init__(self, text: str, initial_state: int = DATA,
-                 last_start_tag: str | None = None):
+                 last_start_tag: str | None = None,
+                 track_positions: bool = False):
         self.s = text
         self.n = len(text)
         self.pos = 0
@@ -117,9 +119,37 @@ class Tokenizer:
         self.last_start_tag = last_start_tag
         self.cdata_ok = lambda: False
         self.errors: list[str] = []
+        # line/col tracking is debug/conformance-only, mirroring the
+        # reference's gating (no position bookkeeping without an error
+        # handler — Data.php:56-57): the production path pays nothing
+        self.offsets: list[int] | None = [] if track_positions else None
 
-    def error(self, code: str) -> None:
+    def error(self, code: str, at: int | None = None) -> None:
+        """``at`` is the 0-based offset of the input character the
+        error points at (html5lib convention: the current input
+        character; EOF errors point one past the end). Sites exercised
+        by position-asserting fixtures pass it explicitly; elsewhere
+        the current scan position is recorded as an approximation."""
         self.errors.append(code)
+        if self.offsets is not None:
+            if at is None:
+                # EOF errors always point one past the last character
+                at = self.n if code.startswith("eof-") else self.pos
+            self.offsets.append(at)
+
+    def error_positions(self) -> list[tuple[str, int, int]]:
+        """[(code, line, col)] with 1-based line/col, matching the
+        html5lib/reference error format (ParseErrorEmitter.php:62-69).
+        Only valid when constructed with track_positions=True."""
+        from bisect import bisect_left
+        nls = [i for i, ch in enumerate(self.s) if ch == "\n"]
+        out = []
+        for code, off in zip(self.errors, self.offsets):
+            k = bisect_left(nls, off)
+            line = k + 1
+            col = off - nls[k - 1] if k else off + 1
+            out.append((code, line, col))
+        return out
 
     # ------------------------------------------------------------------ #
     # character references (WHATWG §13.2.5.72-80, as a subroutine — same
@@ -150,11 +180,13 @@ class Tokenizer:
                 if in_attr and (nxt == "=" or (nxt.isascii() and nxt.isalnum())):
                     # historical rule: not a charref inside attributes
                     return "&"
-                self.error("missing-semicolon-after-character-reference")
+                # points at the char where ';' was expected
+                self.error("missing-semicolon-after-character-reference",
+                           at=pos + ln)
                 self.pos = pos + ln
                 return _HTML5_ENTITIES[probe]
         if run_end < n and s[run_end] == ";":
-            self.error("unknown-named-character-reference")
+            self.error("unknown-named-character-reference", at=run_end)
         return "&"
 
     def _charref_or_raw(self, in_attr: bool) -> str:
@@ -183,7 +215,7 @@ class Tokenizer:
         if end < n and s[end] == ";":
             end += 1
         else:
-            self.error("missing-semicolon-after-character-reference")
+            self.error("missing-semicolon-after-character-reference", at=end)
         self.pos = end
         value = int(digits, 16 if hexmode else 10)
         if value == 0:
@@ -240,8 +272,9 @@ class Tokenizer:
                             buf = []
                         m2 = _NUL_RUN.match(s, pos)
                         k = m2.end() - pos
-                        for _ in range(k):
-                            self.error("unexpected-null-character")
+                        for i in range(k):
+                            self.error("unexpected-null-character",
+                                       at=pos + i)
                         yield (NULLS, k)
                         pos = m2.end()
                     else:  # '<'
@@ -330,10 +363,10 @@ class Tokenizer:
                 self.pos = pos
                 return self._tag_name(end_tag=True)
             if c == ">":
-                self.error("missing-end-tag-name")
+                self.error("missing-end-tag-name", at=pos)
                 self.pos = pos + 1
                 return None
-            self.error("invalid-first-character-of-tag-name")
+            self.error("invalid-first-character-of-tag-name", at=pos)
             self.pos = pos
             return self._bogus_comment("")
         if c.isascii() and c.isalpha():
@@ -401,11 +434,12 @@ class Tokenizer:
             if not ok:
                 return None
         if end_tag:
-            # parity: end-tag sanitization (Tokenizer.php:210-226)
+            # parity: end-tag sanitization (Tokenizer.php:210-226);
+            # both errors point at the closing '>' (html5lib positions)
             if attrs:
-                self.error("end-tag-with-attributes")
+                self.error("end-tag-with-attributes", at=self.pos - 1)
             if self_closing:
-                self.error("end-tag-with-trailing-solidus")
+                self.error("end-tag-with-trailing-solidus", at=self.pos - 1)
             return (END, name)
         self.last_start_tag = name
         return (START, name, attrs, self_closing)
@@ -916,7 +950,8 @@ class Tokenizer:
                 continue
             if c == "/":
                 if pos + 1 < n and s[pos + 1] == ">":
-                    self.error("end-tag-with-trailing-solidus")
+                    # points at the '>' (html5lib positions)
+                    self.error("end-tag-with-trailing-solidus", at=pos + 1)
                     self.pos = pos + 2
                     return (END, name)
                 self.error("unexpected-solidus-in-tag")
@@ -925,7 +960,7 @@ class Tokenizer:
             if c == ">":
                 self.pos = pos + 1
                 if attrs:
-                    self.error("end-tag-with-attributes")
+                    self.error("end-tag-with-attributes", at=pos)
                 return (END, name)
             if not self._attribute(attrs):
                 return None

@@ -166,3 +166,16 @@ def test_parse_accepts_arbitrary_bytes(b):
     out = parse(b)
     assert out.encoding
     extract_text(out.document)
+
+
+def test_parse_track_positions_debug_mode():
+    """Debug mode reports tokenizer (code, line, col) tuples; the
+    production path carries None (no bookkeeping)."""
+    from html_parser_spark.engine.parser import parse
+    html = b"<!DOCTYPE html><p>a\nb</p foo=1>"
+    out = parse(html)
+    assert out.error_positions is None
+    dbg = parse(html, track_positions=True)
+    # second line is 'b</p foo=1>' — the '>' is its 11th character
+    assert ("end-tag-with-attributes", 2, 11) in dbg.error_positions
+    assert dbg.errors == out.errors  # same codes either way

@@ -49,6 +49,19 @@ def test_reference_tokenizer(cid, case, state):
     assert actual == expected
 
 
+_TOK_ERR = [c for c in _TOK if "errors" in c[1]]
+
+
+@pytest.mark.parametrize("cid,case,state", _TOK_ERR,
+                         ids=[c[0] for c in _TOK_ERR])
+def test_reference_tokenizer_error_tuples(cid, case, state):
+    """The reference's bundled cases assert full {code, line, col}
+    error tuples (ParseErrorEmitter.php:62-69); the runner upgrades to
+    position comparison when the fixture carries positions."""
+    actual, expected = conf.run_tokenizer_errors(case, state)
+    assert actual == expected
+
+
 @pytest.mark.parametrize("case", _TREE, ids=[c["case_id"] for c in _TREE])
 def test_reference_tree(case):
     actual, expected = conf.run_tree_case(case)
