@@ -61,7 +61,7 @@ ENC_SQL = ("(CASE doc_id % 10 " + " ".join(
 QUIRKS_SQL = "(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END)::bigint"
 _ERR_BUCKETS = ", ".join(str(k) for k, v in sorted(EXTRAS.items()) if v[2])
 HAS_ERRORS_SQL = (
-    f"(doc_id % 11 = 0 "
+    f"(doc_id % 11 = 0 OR doc_id % 10 = 4 "
     f"OR (doc_id % 7 = 3 AND len(string_split(text, ' ')) >= 3) "
     f"OR doc_id % 23 IN ({_ERR_BUCKETS}))")
 # exact parse-error count, empirically pinned per content bucket:
@@ -70,6 +70,7 @@ HAS_ERRORS_SQL = (
 # one C1 control ref), bogus-comment/PI 2
 N_ERRORS_SQL = f"""(
   (CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END)
+  + (CASE WHEN doc_id % 10 = 4 THEN 1 ELSE 0 END)
   + (CASE WHEN doc_id % 7 = 3
           AND len(string_split(text, ' ')) >= 3 THEN {REP_SQL} ELSE 0 END)
   + (CASE doc_id % 23 WHEN 1 THEN 1 WHEN 3 THEN 3 WHEN 5 THEN 2 ELSE 0 END)

@@ -260,12 +260,66 @@ def _prescan_get_attribute(data: bytes, pos: int) -> tuple[str | None, str, int]
     return name.decode("ascii", "replace").lower(), value.decode("ascii", "replace"), pos
 
 
+def from_xml_declaration(data: bytes, scan_bytes: int = 1024) -> str | None:
+    """"Get an XML encoding" fallback, run when the meta prescan fails:
+    ``<?xml … encoding="label"?>`` at the very start of the stream
+    (XHTML served as text/html).
+
+    Parity: /root/reference/lib/Parser/Charset.php:295-377, including
+    the spec's quirk (whatwg/html#6939, replicated by the reference) of
+    locating the ``encoding`` substring from the start of the window
+    rather than inside the declaration.
+    """
+    s = data[:scan_bytes]
+    n = len(s)
+    if not s.startswith(b"<?xml"):
+        return None
+    decl_end = s.find(b">")
+    if decl_end <= 0:
+        return None
+    pos = s.find(b"encoding")
+    if pos == -1 or pos > decl_end:
+        return None
+    pos += len(b"encoding")
+    while pos < n and s[pos] <= 0x20:
+        pos += 1
+    if pos >= n or s[pos:pos + 1] != b"=":
+        return None
+    pos += 1
+    while pos < n and s[pos] <= 0x20:
+        pos += 1
+    quote = s[pos:pos + 1]
+    if quote not in (b'"', b"'"):
+        return None
+    pos += 1
+    end = s.find(quote, pos)
+    if end == -1:
+        return None
+    label = s[pos:end]
+    if any(b <= 0x20 for b in label):
+        return None
+    enc = label_to_encoding(label.decode("ascii", "replace"))
+    if enc in ("utf-16be", "utf-16le"):
+        enc = "utf-8"
+    return enc
+
+
 def from_prescan(data: bytes, scan_bytes: int = 1024) -> str | None:
-    """Prescan the first ``scan_bytes`` for a <meta> declared encoding.
+    """Prescan the first ``scan_bytes`` for a <meta> declared encoding;
+    on failure fall back to the XML-declaration scan.
 
     Parity: /root/reference/lib/Parser/Charset.php:132-293 (same default
-    1024-byte window as /root/reference/lib/Parser/Config.php:15).
+    1024-byte window as /root/reference/lib/Parser/Config.php:15); every
+    exit without a meta hit funnels to fromXMLDeclaration
+    (Charset.php:292).
     """
+    enc = _prescan_meta(data, scan_bytes)
+    if enc is not None:
+        return enc
+    return from_xml_declaration(data, scan_bytes)
+
+
+def _prescan_meta(data: bytes, scan_bytes: int) -> str | None:
     data = data[:scan_bytes]
     n = len(data)
     pos = 0

@@ -53,7 +53,7 @@ _ENC_VARIANTS = [
     (None, "utf-8", b"\xef\xbb\xbf", False),  # 1: UTF-8 BOM
     ("windows-1252", "cp1252", b"", True),    # 2: meta → windows-1252
     (None, "utf-16-le", b"\xff\xfe", False),  # 3: UTF-16LE BOM
-    (None, "utf-8", b"", False),              # 4: no signal → fallback
+    ("xmldecl", "iso8859-15", b"", False),    # 4: <?xml encoding?> only
     ("iso-8859-1", "cp1252", b"", True),      # 5: label alias → windows-1252
     ("late", "utf-8", b"", False),            # 6: meta AFTER 1024B → relabel
     (None, "utf-16-be", b"\xfe\xff", False),  # 7: UTF-16BE BOM
@@ -61,9 +61,13 @@ _ENC_VARIANTS = [
     ("euc-kr", "euc_kr", b"", True),          # 9: CJK label (ASCII payload)
 ]
 
-# what Charset.sniff + parse will *report* per variant (oracle mirror)
+# what Charset.sniff + parse will *report* per variant (oracle mirror).
+# Variant 4: XHTML-served-as-html — the only encoding signal is the
+# leading <?xml … encoding="ISO-8859-15"?> declaration, exercising the
+# fromXMLDeclaration prescan fallback (Charset.php:295-377); the
+# declaration itself tokenizes as a bogus comment (1 parse error).
 REPORTED_ENCODING = ["utf-8", "utf-8", "windows-1252", "utf-16le",
-                     "windows-1252", "windows-1252", "utf-8", "utf-16be",
+                     "iso-8859-15", "windows-1252", "utf-8", "utf-16be",
                      "shift_jis", "euc-kr"]
 
 # "extras" buckets keyed on doc_id % 23 (FIXTURES.md §1 content mix):
@@ -173,6 +177,9 @@ def build_page(doc_id: int, text: str, lang: str, source: str
     rep = rep_factor(doc_id)
 
     head_parts = []
+    if label == "xmldecl":
+        # must be the very first bytes of the stream (Charset.php:306)
+        head_parts.append('<?xml version="1.0" encoding="ISO-8859-15"?>')
     if doc_id % 11 != 0:
         head_parts.append("<!DOCTYPE html>")
     head_parts.append("<html><head>")

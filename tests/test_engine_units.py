@@ -179,3 +179,27 @@ def test_parse_track_positions_debug_mode():
     # second line is 'b</p foo=1>' — the '>' is its 11th character
     assert ("end-tag-with-attributes", 2, 11) in dbg.error_positions
     assert dbg.errors == out.errors  # same codes either way
+
+
+def test_from_xml_declaration_ladder():
+    """fromXMLDeclaration parity (Charset.php:295-377): runs only when
+    the meta prescan fails, label at stream start, utf-16 remap, and
+    the spec's find-from-start quirk."""
+    from html_parser_spark.engine import charset as cs
+    assert cs.from_xml_declaration(
+        b'<?xml version="1.0" encoding="ISO-8859-15"?><html>') \
+        == "iso-8859-15"
+    assert cs.from_xml_declaration(
+        b"<?xml version='1.0' encoding='utf-16be'?>") == "utf-8"
+    assert cs.from_xml_declaration(b'<?xml version="1.0"?>') is None
+    assert cs.from_xml_declaration(b'<html><?xml encoding="utf-8"?>') is None
+    assert cs.from_xml_declaration(
+        b'<?xml version="1.0" encoding="no-such"?>') is None
+    # meta prescan wins over the XML declaration
+    assert cs.from_prescan(
+        b'<?xml version="1.0" encoding="ISO-8859-15"?>'
+        b'<meta charset="utf-8">') == "utf-8"
+    # and the whole sniff ladder reports it tentatively
+    enc, certain = cs.sniff(
+        b'<?xml version="1.0" encoding="ISO-8859-15"?><html></html>')
+    assert (enc, certain) == ("iso-8859-15", False)

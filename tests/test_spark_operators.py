@@ -52,7 +52,7 @@ def test_encoding_variants_reported(spark, pages):
             extract_pages(pages, with_spans=False)
             .select("encoding").distinct().collect()}
     assert encs == {"utf-8", "windows-1252", "utf-16le", "utf-16be",
-                    "shift_jis", "euc-kr"}
+                    "iso-8859-15", "shift_jis", "euc-kr"}
 
 
 def test_spans_offsets_consistent(spark, pages):
