@@ -31,7 +31,8 @@ from html_parser_spark.sources.pages import pages_df
 # ---------------------------------------------------------------- oracle
 # SQL fragments mirroring sources/pages.py (keep in lockstep!)
 
-from html_parser_spark.sources.pages import EXTRAS, REPORTED_ENCODING
+from html_parser_spark.sources.pages import (CJK_TEXT, EXTRAS,
+                                             REPORTED_ENCODING)
 
 
 def _sql_str(s: str) -> str:
@@ -52,9 +53,13 @@ REP_SQL = ("(CASE WHEN doc_id % 997 = 0 THEN 8000 "
 _EXTRA_TEXT_SQL = ("(CASE doc_id % 23 " + " ".join(
     f"WHEN {k} THEN chr(10) || {_sql_str(v[1])}"
     for k, v in sorted(EXTRAS.items())) + " ELSE '' END)")
+_CJK_TEXT_SQL = ("(CASE doc_id % 10 " + " ".join(
+    f"WHEN {k} THEN chr(10) || {_sql_str(v)}"
+    for k, v in sorted(CJK_TEXT.items())) + " ELSE '' END)")
 TEXT_SQL = (f"('Doc ' || doc_id || chr(10) || "
             f"repeat(text || chr(10), {REP_SQL} - 1) || text || chr(10) || "
-            f"'src=' || source || '&lang=' || lang || {_EXTRA_TEXT_SQL})")
+            f"'src=' || source || '&lang=' || lang || {_EXTRA_TEXT_SQL}"
+            f" || {_CJK_TEXT_SQL})")
 ENC_SQL = ("(CASE doc_id % 10 " + " ".join(
     f"WHEN {i} THEN '{e}'" for i, e in enumerate(REPORTED_ENCODING))
     + " END)")
@@ -81,6 +86,7 @@ N_ERRORS_SQL = f"""(
 # + 1 adoption-agency clone = 4; nested-formatting = p+b+em = 3; else 1)
 N_ELEMENTS_SQL = f"""(
   6 + (CASE WHEN doc_id % 10 IN (0, 2, 5, 6, 8, 9) THEN 1 ELSE 0 END)
+  + (CASE WHEN doc_id % 10 IN (8, 9) THEN 1 ELSE 0 END)
   + (CASE doc_id % 23 WHEN 1 THEN 6 WHEN 2 THEN 4 WHEN 3 THEN 1
           WHEN 4 THEN 5 WHEN 6 THEN 1 WHEN 7 THEN 8 ELSE 0 END)
   + (CASE WHEN doc_id % 7 = 3 AND len(string_split(text, ' ')) >= 3 THEN 4

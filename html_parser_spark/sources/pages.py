@@ -145,15 +145,25 @@ def _paragraph(doc_id: int, text: str) -> str:
     return "<p>" + _escape(text) + "</p>"
 
 
+# multibyte payloads for the CJK-label variants (8: shift_jis,
+# 9: euc-kr) so the DECODE path — not just the label ladder — is
+# oracle-pinned end-to-end (round-1 gap: ASCII-only payloads made the
+# CJK decode label-deep). Chosen well inside both codecs' repertoires.
+CJK_TEXT = {8: "日本語のテキスト、漢字とカナ", 9: "한국어 텍스트 문서"}
+
+
 def expected_text(doc_id: int, text: str, lang: str, source: str) -> str:
     """Golden body.textContent — kept in lockstep with the oracle SQL in
-    __spark_entry__.py (built from the same EXTRAS constants)."""
+    __spark_entry__.py (built from the same EXTRAS/CJK_TEXT constants)."""
     rep = rep_factor(doc_id)
     body = "\n".join([text] * rep)
     base = f"Doc {doc_id}\n{body}\nsrc={source}&lang={lang}"
     extra = EXTRAS.get(doc_id % 23)
     if extra is not None:
         base += "\n" + extra[1]
+    cjk = CJK_TEXT.get(doc_id % 10)
+    if cjk is not None:
+        base += "\n" + cjk
     return base
 
 
@@ -197,9 +207,11 @@ def build_page(doc_id: int, text: str, lang: str, source: str
     paras = "\n".join([_paragraph(doc_id, text)] * rep)
     extra = EXTRAS.get(doc_id % 23)
     extra_markup = ("\n" + extra[0]) if extra is not None else ""
+    cjk = CJK_TEXT.get(variant)
+    cjk_markup = f"\n<div>{cjk}</div>" if cjk is not None else ""
     body = (f"<body><h1>Doc {doc_id}</h1>\n{paras}\n"
             f"<footer>src={_escape(source)}&amp;lang={_escape(lang)}</footer>"
-            f"{extra_markup}</body></html>")
+            f"{extra_markup}{cjk_markup}</body></html>")
     html = bom + ("".join(head_parts) + body).encode(codec)
 
     url = f"https://example.org/{source}/doc{doc_id:08d}.html"
