@@ -450,6 +450,40 @@ def decode(data: bytes, encoding: str) -> str:
     return text
 
 
+def decode_count(data: bytes, encoding: str) -> tuple[str, int]:
+    """``decode`` plus the number of malformed byte sequences replaced
+    — one ``encoding-error`` each (reference Data.php error emission).
+    Strict decode is the fast path (zero-count, no second pass); on
+    failure the count is U+FFFD occurrences minus any that decode from
+    literal U+FFFD bytes in the input (exact, since the replace handler
+    emits exactly one U+FFFD per malformed sequence)."""
+    if encoding in ("replacement", "x-user-defined"):
+        # replacement: the single U+FFFD *is* the error; x-user-defined
+        # maps every byte somewhere (never malformed)
+        return decode(data, encoding), 1 if (
+            encoding == "replacement" and data) else 0
+    codec = _PY_CODEC.get(encoding, "cp1252")
+    body = data
+    if encoding == "utf-8" and body.startswith(b"\xef\xbb\xbf"):
+        body = body[3:]
+    elif encoding == "utf-16be" and body.startswith(b"\xfe\xff"):
+        body = body[2:]
+    elif encoding == "utf-16le" and body.startswith(b"\xff\xfe"):
+        body = body[2:]
+    try:
+        text = body.decode(codec, "strict")
+        if "\r" in text:
+            text = text.replace("\r\n", "\n").replace("\r", "\n")
+        return text, 0
+    except UnicodeDecodeError:
+        text = decode(data, encoding)
+        try:
+            legit = body.count("�".encode(codec))
+        except UnicodeEncodeError:
+            legit = 0
+        return text, text.count("�") - legit
+
+
 def encoding_compatible_prefix(data: bytes, old: str, new: str, upto: int) -> bool:
     """True when re-decoding is unnecessary after a mid-parse encoding change:
     the consumed prefix decodes identically under both encodings (the

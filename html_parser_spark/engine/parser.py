@@ -63,7 +63,7 @@ def parse(data: bytes | str, transport_charset: str | None = None,
 
     encoding, certain = charset.sniff(data, transport_charset, fallback, prescan_bytes)
     for _attempt in range(2):
-        text = charset.decode(data, encoding)
+        text, n_decode_errors = charset.decode_count(data, encoding)
         changed: list[str] = []
 
         def meta_hook(new_enc: str, _certain=certain, _enc=encoding) -> None:
@@ -93,6 +93,10 @@ def parse(data: bytes | str, transport_charset: str | None = None,
             continue
         if changed:
             encoding = changed[-1]
+        if n_decode_errors:
+            # one encoding-error per malformed sequence replaced
+            # (reference Data.php / ParseError.php ENCODING_ERROR)
+            errors = ["encoding-error"] * n_decode_errors + errors
         return Output(doc, encoding, doc.quirks_mode, errors,
                       tb.n_tokens, tb.n_elements, positions)
     raise AssertionError("unreachable: at most one encoding restart")

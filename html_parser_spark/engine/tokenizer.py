@@ -28,6 +28,7 @@ sections are only honored in foreign content (feedback channel 2; parity:
 from __future__ import annotations
 
 import re
+import sys
 from html.entities import html5 as _HTML5_ENTITIES
 
 # token kinds
@@ -60,6 +61,19 @@ _ATTRVAL_DQ = re.compile(r'[^"&\x00]+')
 _ATTRVAL_SQ = re.compile(r"[^'&\x00]+")
 _ATTRVAL_UQ = re.compile(r"[^\t\n\f >&\x00]+")
 _COMMENT_RUN = re.compile(r"[^-\x00]+")
+# input-stream preprocessing: C0 controls minus NUL/HT/LF/FF/CR, DEL,
+# C1 controls, surrogates, and BMP noncharacters. Kept BMP-only: sre
+# scans a BMP character class at ~300 MB/s but drops to ~20 MB/s the
+# moment the class contains an astral member, so the 32 astral
+# noncharacters get their own class, searched only for strings proven
+# (by the O(1) width check in _scan_input_stream) to contain astral
+# characters at all.
+_BAD_BMP_RE = re.compile(
+    "[\x01-\x08\x0b\x0e-\x1f\x7f-\x9f\ud800-\udfff﷐-﷯"
+    "￾￿]")
+_BAD_ASTRAL_RE = re.compile(
+    "[" + "".join(chr(0x10000 * p + o) for p in range(1, 17)
+                  for o in (0xFFFE, 0xFFFF)) + "]")
 _BOGUS_RUN = re.compile(r"[^>\x00]+")
 _ALPHA_RUN = re.compile(r"[A-Za-z]+")
 _ENTITY_CANDIDATE = re.compile(r"[A-Za-z][A-Za-z0-9]{0,40}")
@@ -243,9 +257,38 @@ class Tokenizer:
     # main generator
     # ------------------------------------------------------------------ #
 
+    def _scan_input_stream(self) -> None:
+        """Input-stream preprocessing errors (WHATWG §13.2.3.5;
+        reference Data.php character checks): surrogates,
+        noncharacters, and controls other than NUL/whitespace. One
+        C-level BMP regex search on the clean path (the overwhelmingly
+        common case); the astral-noncharacter class is consulted only
+        when the CPython compact-str width shows the string can hold
+        astral characters at all (a UCS-1/2 string provably cannot)."""
+        s = self.s
+        if not s:
+            return
+        hits = []
+        if _BAD_BMP_RE.search(s) is not None:
+            hits = list(_BAD_BMP_RE.finditer(s))
+        if not s.isascii() and sys.getsizeof(s) >= 4 * len(s):
+            astral = list(_BAD_ASTRAL_RE.finditer(s))
+            if astral:
+                hits = sorted(hits + astral, key=lambda m: m.start())
+        for m in hits:
+            o = ord(m.group())
+            if 0xD800 <= o <= 0xDFFF:
+                code = "surrogate-in-input-stream"
+            elif 0xFDD0 <= o <= 0xFDEF or (o & 0xFFFE) == 0xFFFE:
+                code = "noncharacter-in-input-stream"
+            else:
+                code = "control-character-in-input-stream"
+            self.error(code, at=m.start())
+
     def tokenize(self):
         s = self.s
         n = self.n
+        self._scan_input_stream()
         while True:
             state = self.state
             pos = self.pos
@@ -641,8 +684,16 @@ class Tokenizer:
             if s[pos] != "-":
                 data.append("-")
                 continue
-            # comment end state ('--' seen); extra dashes stay in data
+            # comment end state ('--' seen); extra dashes stay in data.
+            # If the dashes complete a '<!--' inside the comment body,
+            # that's the spec's comment-less-than-sign-bang-dash-dash
+            # path: any continuation except '>' (or EOF) is a
+            # nested-comment error (WHATWG §13.2.5.51); data content is
+            # unaffected (the run/dash handling already appends the
+            # same characters the spec's states would).
             pos += 1
+            if (s[pos - 4:pos - 2] == "<!" and pos < n and s[pos] != ">"):
+                self.error("nested-comment", at=pos)
             while pos < n and s[pos] == "-":
                 data.append("-")
                 pos += 1
@@ -757,17 +808,20 @@ class Tokenizer:
 
     def _doctype_ids(self, pos: int, public_first: bool):
         """Parse PUBLIC/SYSTEM identifier section. Returns
-        (public, system, force_quirks, new_pos); self.pos unused here."""
+        (public, system, force_quirks, new_pos); self.pos unused here.
+        Error codes carry the spec's public/system distinction
+        (WHATWG §13.2.5.58-66; reference ParseError.php:35-44)."""
         s, n = self.s, self.n
         public = system = None
         quirks = False
+        k1 = "public" if public_first else "system"
 
         def skip_ws(p: int) -> int:
             while p < n and s[p] in _WS:
                 p += 1
             return p
 
-        def quoted(p: int):
+        def quoted(p: int, kind: str):
             """Returns (value|None, new_pos, ended_by_gt, eof)."""
             if p >= n:
                 return None, p, False, True
@@ -780,17 +834,17 @@ class Tokenizer:
                 if gt == -1:
                     self.error("eof-in-doctype")
                     return s[p + 1:].replace("\x00", "�"), n, False, True
-                self.error("abrupt-doctype-identifier")
+                self.error(f"abrupt-doctype-{kind}-identifier")
                 return s[p + 1:gt].replace("\x00", "�"), gt + 1, True, False
             if gt != -1 and gt < endq:
-                self.error("abrupt-doctype-identifier")
+                self.error(f"abrupt-doctype-{kind}-identifier")
                 return s[p + 1:gt].replace("\x00", "�"), gt + 1, True, False
             return s[p + 1:endq].replace("\x00", "�"), endq + 1, False, False
 
         # after PUBLIC/SYSTEM keyword
         p = pos
         if p < n and s[p] not in _WS and s[p] not in "\"'>":
-            self.error("missing-quote-before-doctype-identifier")
+            self.error(f"missing-quote-before-doctype-{k1}-identifier")
             quirks = True
             gt = s.find(">", p)
             return public, system, True, (n if gt == -1 else gt + 1)
@@ -800,15 +854,15 @@ class Tokenizer:
             self.error("eof-in-doctype")
             return public, system, True, n
         if s[p] == ">":
-            self.error("missing-doctype-identifier")
+            self.error(f"missing-doctype-{k1}-identifier")
             return public, system, True, p + 1
         if s[p] not in "\"'":
-            self.error("missing-quote-before-doctype-identifier")
+            self.error(f"missing-quote-before-doctype-{k1}-identifier")
             gt = s.find(">", p)
             return public, system, True, (n if gt == -1 else gt + 1)
         if not had_ws:
-            self.error("missing-whitespace-after-doctype-keyword")
-        val, p, gt_ended, eof = quoted(p)
+            self.error(f"missing-whitespace-after-doctype-{k1}-keyword")
+        val, p, gt_ended, eof = quoted(p, k1)
         if public_first:
             public = val
         else:
@@ -838,7 +892,7 @@ class Tokenizer:
         if s[p2] in "\"'":
             if p2 == p:
                 self.error("missing-whitespace-between-doctype-public-and-system-identifiers")
-            val, p3, gt_ended, eof = quoted(p2)
+            val, p3, gt_ended, eof = quoted(p2, "system")
             system = val
             if eof or gt_ended:
                 return public, system, True, p3
@@ -851,7 +905,7 @@ class Tokenizer:
             self.error("unexpected-character-after-doctype-system-identifier")
             gt = s.find(">", p3)
             return public, system, False, (n if gt == -1 else gt + 1)
-        self.error("missing-quote-before-doctype-identifier")
+        self.error("missing-quote-before-doctype-system-identifier")
         gt = s.find(">", p2)
         return public, system, True, (n if gt == -1 else gt + 1)
 

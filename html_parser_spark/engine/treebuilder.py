@@ -119,6 +119,11 @@ class TreeBuilder:
         self.template_modes: list[int] = []
         self.pending_table_text: list[str] = []
         self.ignore_lf = False
+        # self-closing-flag acknowledgment (WHATWG §13.2.6.4; reference
+        # ParseError.php non-void-html-element-start-tag-with-trailing-
+        # solidus): set by void/foreign insertions, checked after each
+        # START-token dispatch in process()
+        self.ack_self_closing = False
         self.errors: list[str] = []
         self.fragment_context = fragment_context
         self.iframe_srcdoc = False
@@ -433,6 +438,10 @@ class TreeBuilder:
         return el
 
     def insert_start_tag(self, token, push: bool = True) -> Element:
+        if not push:
+            # push=False is exactly the void/self-contained-element
+            # shape: the spec acknowledges the self-closing flag there
+            self.ack_self_closing = True
         return self.insert_element(token[1], token[2], HTML_NS, push)
 
     # ------------------------------------------------------------------ #
@@ -617,6 +626,9 @@ class TreeBuilder:
                 if not data:
                     return
                 token = (CHARS, data)
+        check_ack = kind == START and token[3]
+        if check_ack:
+            self.ack_self_closing = False
         guard = 0
         stack = self.stack
         while True:
@@ -637,8 +649,11 @@ class TreeBuilder:
                 else:
                     again = self._process_foreign(token)
             if again is None:
-                return
+                break
             token = again
+        if check_ack and not self.ack_self_closing:
+            self.error(
+                "non-void-html-element-start-tag-with-trailing-solidus")
 
     def _foreign_takes_html_rules(self, acn: Element, token) -> bool:
         kind = token[0]
@@ -701,7 +716,15 @@ class TreeBuilder:
             self.mode = BEFORE_HTML
             return None
         if not self.iframe_srcdoc:
-            self.error("expected-doctype-but-got-something-else")
+            # reference/html5lib code split (ParseError.php:63-66)
+            if kind == EOF:
+                self.error("expected-doctype-but-got-eof")
+            elif kind == START:
+                self.error("expected-doctype-but-got-start-tag")
+            elif kind == END:
+                self.error("expected-doctype-but-got-end-tag")
+            else:
+                self.error("expected-doctype-but-got-chars")
             self.doc.quirks_mode = QUIRKS
         self.mode = BEFORE_HTML
         return token
@@ -1284,11 +1307,13 @@ class TreeBuilder:
         if name == "math":
             self.reconstruct_afe()
             adjusted = _adjust_foreign_attrs(attrs, MATHML_ATTR_ADJUST)
+            self.ack_self_closing = True
             self._insert_foreign(name, adjusted, MATHML_NS, token[3])
             return None
         if name == "svg":
             self.reconstruct_afe()
             adjusted = _adjust_foreign_attrs(attrs, SVG_ATTR_ADJUST)
+            self.ack_self_closing = True
             self._insert_foreign(name, adjusted, SVG_NS, token[3])
             return None
         if name in ("caption", "col", "colgroup", "frame", "head",
@@ -1542,8 +1567,11 @@ class TreeBuilder:
                 return self.mode_in_head(token)
         elif kind == EOF:
             return self.mode_in_body(token)
-        # anything else: foster-parented in-body processing
-        self.error("unexpected-token-in-table")
+        # anything else: foster-parented in-body processing (error code
+        # granularity per reference ParseError.php fostered-*)
+        self.error("fostered-start-tag" if kind == START
+                   else "fostered-end-tag" if kind == END
+                   else "fostered-char")
         self.foster = True
         result = self.mode_in_body(token)
         self.foster = False
@@ -1568,7 +1596,7 @@ class TreeBuilder:
         if pending:
             if pending.strip(_WS):
                 # non-ws: reprocess via in-table anything-else (foster)
-                self.error("unexpected-text-in-table")
+                self.error("fostered-char")
                 self.foster = True
                 self.reconstruct_afe()
                 self.insert_text(pending)
@@ -2060,6 +2088,7 @@ class TreeBuilder:
                 attrs = _adjust_foreign_attrs(attrs, None)
             el = self._insert_foreign(name, attrs, ns, False)
             if self_closing:
+                self.ack_self_closing = True
                 self.stack.pop()
             return None
         if kind == END:

@@ -203,3 +203,91 @@ def test_from_xml_declaration_ladder():
     enc, certain = cs.sniff(
         b'<?xml version="1.0" encoding="ISO-8859-15"?><html></html>')
     assert (enc, certain) == ("iso-8859-15", False)
+
+
+class TestErrorRegistry:
+    """Per-code error registry checks (reference ParseError.php:11-165
+    parity via html_parser_spark.engine.errors)."""
+
+    # hand-derived expectations: (input bytes, expected error multiset)
+    BATCH = [
+        (b"<p>x", {"expected-doctype-but-got-start-tag": 1}),
+        (b"x", {"expected-doctype-but-got-chars": 1}),
+        (b"", {"expected-doctype-but-got-eof": 1}),
+        (b"</p>", {"expected-doctype-but-got-end-tag": 1,
+                   "unexpected-end-tag": 1}),
+        (b"<!DOCTYPE html><p>a</p foo=1>", {"end-tag-with-attributes": 1}),
+        (b"<!DOCTYPE html><p/>x",
+         {"non-void-html-element-start-tag-with-trailing-solidus": 1}),
+        (b"<!DOCTYPE html><br/><img/><input/>", {}),  # voids acknowledge
+        (b"<!DOCTYPE html><svg><circle/></svg>", {}),  # foreign acks
+        (b"<!DOCTYPE html><!--a<!--b-->", {"nested-comment": 1}),
+        (b"<!DOCTYPE html>\x0b",
+         {"control-character-in-input-stream": 1}),
+        (b"\xef\xbb\xbf<!DOCTYPE html><p>a\xffb", {"encoding-error": 1}),
+        (b"<!DOCTYPE html PUBLIC x>",
+         {"missing-quote-before-doctype-public-identifier": 1}),
+        (b"<!DOCTYPE html SYSTEM x>",
+         {"missing-quote-before-doctype-system-identifier": 1}),
+        (b"<!DOCTYPE html PUBLIC 'a'",
+         {"eof-in-doctype": 1, "unexpected-doctype": 1}),
+        (b"<!DOCTYPE html PUBLIC'a'>",
+         {"missing-whitespace-after-doctype-public-keyword": 1,
+          "unexpected-doctype": 1}),
+        (b"<!DOCTYPE html PUBLIC 'a>x'>",
+         {"abrupt-doctype-public-identifier": 1, "unexpected-doctype": 1}),
+        (b"<!DOCTYPE html SYSTEM 'a>x'>",
+         {"abrupt-doctype-system-identifier": 1, "unexpected-doctype": 1}),
+        (b"<!DOCTYPE html PUBLIC>",
+         {"missing-doctype-public-identifier": 1}),
+        (b"<!DOCTYPE html SYSTEM>",
+         {"missing-doctype-system-identifier": 1}),
+        (b"<!DOCTYPE html><table>x<tr><td>c</td></tr></table>",
+         {"fostered-char": 1}),
+        (b"<!DOCTYPE html><table><b></b><tr><td>c</td></tr></table>",
+         {"fostered-start-tag": 1, "fostered-end-tag": 1}),
+    ]
+
+    @pytest.mark.parametrize("data,expected", BATCH,
+                             ids=[repr(b)[:40] for b, _ in BATCH])
+    def test_per_code_counts(self, data, expected):
+        from collections import Counter
+        out = parse(data)
+        assert dict(Counter(out.errors)) == expected
+
+    def test_all_emitted_codes_are_registered(self):
+        from html_parser_spark.engine.errors import ALL_CODES
+        for data, _ in self.BATCH:
+            for code in parse(data).errors:
+                assert code in ALL_CODES, code
+
+    def test_registry_covers_reference_standard_set(self):
+        """Every standardized code in the reference's registry
+        (constants 100-148) is present verbatim; non-standard tree
+        codes are either present or have a recorded alias."""
+        import re as _re
+        from html_parser_spark.engine.errors import (ALL_CODES,
+                                                     REFERENCE_ALIASES)
+        src = open("/root/reference/lib/Parser/ParseError.php").read()
+        consts = _re.findall(r"const ([A-Z_]+)\s*= (\d+);", src)
+        for name, num in consts:
+            code = name.lower().replace("_", "-")
+            if code in ("messages", "report-offsets"):
+                continue
+            assert code in ALL_CODES or code in REFERENCE_ALIASES, code
+
+    def test_every_source_literal_code_is_registered(self):
+        """Static sweep: every literal code the engine can emit exists
+        in the registry (f-string doctype codes checked separately by
+        the per-code batch)."""
+        import re as _re
+        from html_parser_spark.engine.errors import ALL_CODES
+        import html_parser_spark.engine.tokenizer as _t
+        import html_parser_spark.engine.treebuilder as _b
+        for mod in (_t, _b):
+            src = open(mod.__file__).read()
+            lits = _re.findall(
+                r"error\(\s*\n?\s*[\"']([a-z0-9-]+)[\"']", src)
+            lits += _re.findall(r"code = [\"']([a-z0-9-]+)[\"']", src)
+            for c in lits:
+                assert c in ALL_CODES, c
