@@ -291,3 +291,59 @@ class TestErrorRegistry:
             lits += _re.findall(r"code = [\"']([a-z0-9-]+)[\"']", src)
             for c in lits:
                 assert c in ALL_CODES, c
+
+
+class TestDOMParser:
+    """text/html façade behaviors mirroring the reference's
+    TestDOMParser.php HTML rows (the XML branch is out of scope)."""
+
+    def _text(self, out):
+        return text_content(out.document)
+
+    def test_default_utf8_fallback(self):
+        from html_parser_spark.engine.domparser import DOMParser
+        out = DOMParser().parse_from_string("Olé".encode(), "text/html")
+        assert self._text(out) == "Olé"
+        assert out.encoding == "utf-8"
+
+    def test_charset_param(self):
+        from html_parser_spark.engine.domparser import DOMParser
+        out = DOMParser().parse_from_string(
+            "Olé".encode("cp1252"), "text/html;charset=windows-1252")
+        assert self._text(out) == "Olé"
+        assert out.encoding == "windows-1252"
+
+    def test_quoted_charset_param_and_label_alias(self):
+        from html_parser_spark.engine.domparser import DOMParser
+        out = DOMParser().parse_from_string(
+            "Olé".encode(), 'text/html; charset="utf8"')
+        assert self._text(out) == "Olé"
+        assert out.encoding == "utf-8"
+
+    def test_bom_beats_charset_param(self):
+        from html_parser_spark.engine.domparser import DOMParser
+        data = "﻿Olé".encode("utf-16le")
+        out = DOMParser().parse_from_string(
+            data, "text/html;charset=euc-kr")
+        assert self._text(out) == "Olé"
+        assert out.encoding == "utf-16le"
+
+    def test_meta_sniff_still_works(self):
+        from html_parser_spark.engine.domparser import DOMParser
+        out = DOMParser().parse_from_string(
+            "<meta charset=windows-1252>Olé".encode("cp1252"), "text/html")
+        assert self._text(out) == "Olé"
+
+    def test_xml_type_gated(self):
+        from html_parser_spark.engine.domparser import DOMParser
+        with pytest.raises(NotImplementedError):
+            DOMParser().parse_from_string(b"<html/>", "text/xml")
+        with pytest.raises(NotImplementedError):
+            DOMParser().parse_from_string(b"<svg/>", "image/svg+xml")
+
+    def test_invalid_type_rejected(self):
+        from html_parser_spark.engine.domparser import DOMParser
+        with pytest.raises(ValueError):
+            DOMParser().parse_from_string(b"x", "text/plain")
+        with pytest.raises(ValueError):
+            DOMParser().parse_from_string(b"x", "nonsense")
