@@ -93,7 +93,7 @@ def main() -> None:
         qmap = e.queries()
         # best-of-2 for cheap operators (co-tenant steal causes up to 4×
         # swings on this host); single run for the heavy ones
-        for name, reps in (("dedup_exact", 2), ("dedup_minhash_lsh", 1),
+        for name, reps in (("dedup_exact", 2), ("dedup_minhash_lsh", 2),
                            ("dedup_simhash", 2), ("similarity_topk", 2),
                            ("similarity_ann_lsh", 1), ("text_stats", 2),
                            ("lang_id", 2), ("fingerprint", 2),

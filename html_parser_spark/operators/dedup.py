@@ -120,10 +120,20 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
           for i in range(NUM_HASHES)])
 
 
-def minhash_band_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
+def minhash_band_pairs(docs: DataFrame, n: int = 3,
+                       persist_signatures: bool = True) -> DataFrame:
     """LSH candidate pairs: same (band, band_key) for any of the 8
-    bands of 2 rows; returns (doc_a, doc_b, n_matching_sigs)."""
+    bands of 2 rows; returns (doc_a, doc_b, n_matching_sigs).
+
+    The signature table is referenced three times in this plan (band
+    explode + both rejoin sides); without materialization Spark
+    recomputes the md5-shingle aggregation for each reference, tripling
+    the dominant cost. ``persist_signatures`` caches it
+    (MEMORY_AND_DISK — 17 small columns per doc; at 10^12 docs you'd
+    write it to a table instead and share it across dedup runs)."""
     sigs = minhash_signatures(docs, n)
+    if persist_signatures:
+        sigs = sigs.persist()
     bands = F.array(*[
         F.struct(F.lit(b).alias("band"),
                  (F.col(f"sig_{2 * b}") * P31 + F.col(f"sig_{2 * b + 1}"))
