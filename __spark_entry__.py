@@ -393,6 +393,50 @@ def _q_sim_lsh(spark, sf_dir):
                     F.col("rank").cast("long").alias("rank"), "cosine_r4"))
 
 
+_NEAR_DUP_THRESHOLD = 0.35  # synthetic embeddings are near-orthogonal
+#                             (max organic cosine ~0.51); the threshold
+#                             exercises the filter on the organic tail
+#                             while injected exact copies pin recall
+
+
+def _q_dedup_embedding(spark, sf_dir):
+    # embedding-cosine near-dup: LSH-bucketed candidates (equi-join on
+    # the deterministic hyperplane buckets) + exact cosine filter.
+    # The corpus is unioned with exact copies of vec_id < 50 (id +
+    # 100000) — identical vectors share every bucket, so the operator
+    # must surface all 50 dup pairs at cosine 1.0 besides the organic
+    # tail. Closed-form oracle reuses the inlined-hyperplane CTE.
+    emb = _emb(spark, sf_dir)
+    dup = (emb.filter(F.col("vec_id") < 50)
+           .withColumn("vec_id", F.col("vec_id") + 100_000))
+    return similarity.embedding_near_dup_pairs(
+        emb.unionByName(dup), dim=_EMB_DIM,
+        threshold=_NEAR_DUP_THRESHOLD,
+        n_planes=_LSH_PLANES, n_tables=_LSH_TABLES)
+
+
+def _dedup_embedding_sql() -> str:
+    keys = _lsh_keys_cte().replace(
+        "FROM embeddings",
+        "FROM emb2")
+    return f"""
+WITH emb2 AS (SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000, embedding FROM embeddings
+              WHERE vec_id < 50),
+{keys},
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM keys a JOIN keys b
+           ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+s AS (SELECT c.id_a, c.id_b,
+             list_cosine_similarity(ea.embedding::DOUBLE[],
+                                    eb.embedding::DOUBLE[]) AS cos
+      FROM cand c JOIN emb2 ea ON ea.vec_id = c.id_a
+                  JOIN emb2 eb ON eb.vec_id = c.id_b)
+SELECT id_a, id_b, round(cos, 4) AS cosine_r4 FROM s
+WHERE cos >= {_NEAR_DUP_THRESHOLD}"""
+
+
 def _q_fragment_extract(spark, sf_dir):
     """innerHTML fragment parsing: build an <ul> snippet from each
     document's words (one <li> per word), fragment-parse it in a ul
@@ -510,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": _q_sim_topk,
         "similarity_ann_lsh": _q_sim_lsh,
         "similarity_ann_ivf": _q_sim_ivf,
+        "dedup_embedding": _q_dedup_embedding,
         "curation_pipeline": _q_curation_pipeline,
         "fragment_extract": _q_fragment_extract,
         "conformance_pass_rate": _q_conformance,
@@ -592,6 +637,7 @@ r AS (SELECT q_id, neighbor_id,
 SELECT q_id, neighbor_id, rank, cosine_r4 FROM r WHERE rank <= 5""",
         "similarity_ann_lsh": _ann_lsh_sql(),
         "similarity_ann_ivf": _ann_ivf_sql(),
+        "dedup_embedding": _dedup_embedding_sql(),
         "curation_pipeline": f"""
 SELECT {URL_SQL} || '?c=0' AS kept_url
 FROM documents WHERE length({TEXT_SQL}) >= 200""",

@@ -96,9 +96,18 @@ def main() -> None:
         for name, reps in (("dedup_exact", 2), ("dedup_minhash_lsh", 2),
                            ("dedup_simhash", 2), ("similarity_topk", 2),
                            ("similarity_ann_lsh", 1), ("text_stats", 2),
-                           ("lang_id", 2), ("fingerprint", 2),
-                           ("multimodal_decode", 2)):
+                           ("lang_id", 2), ("fingerprint", 2)):
             queries[name] = time_query(qmap[name], spark, sf_dir, reps=reps)
+        # multimodal: stage the synthetic media table first (same
+        # methodology as pages — synthesis excluded from the timing),
+        # then time the real PNG/GIF/WAV decode pass over parquet
+        from html_parser_spark.operators import multimodal
+        media_staged = f"{tmp}/media"
+        multimodal.media_df_from_docs(spark, sf_dir) \
+            .write.parquet(media_staged)
+        media = spark.read.parquet(media_staged)
+        queries["multimodal_decode"] = time_query(
+            lambda *_: multimodal.decode_media(media), None, reps=2)
         # jaccard is O(pairs) on a tiny shared vocabulary — bench a slice
         docs1k = (spark.read.parquet(f"{sf_dir}/documents.parquet")
                   .filter(F.col("doc_id") < 1000))

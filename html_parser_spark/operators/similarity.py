@@ -98,6 +98,35 @@ def bucket_keys(emb: DataFrame, dim: int, n_planes: int = 4,
             .drop("_k"))
 
 
+def embedding_near_dup_pairs(emb: DataFrame, dim: int,
+                             threshold: float = 0.85,
+                             n_planes: int = 4, n_tables: int = 8,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed (the
+    training-data dedup shape): candidates = pairs sharing any
+    (table, bucket) under the deterministic hyperplane sketches — an
+    equi-join keyed on the bucket, never a cartesian — then an exact
+    cosine filter at ``threshold``. Semantics are deliberately
+    "LSH-candidate near-dups": the OR-construction over ``n_tables``
+    tables bounds the missed-pair rate, and because the hyperplanes are
+    md5-deterministic the full result (candidates AND cosines) is
+    closed-form for the oracle. Returns (id_a, id_b, cosine_r4)."""
+    keyed = bucket_keys(emb, dim, n_planes, n_tables, vec_col)
+    a = keyed.select(F.col(id_col).alias("id_a"),
+                     F.col(vec_col).alias("va"), "table", "bucket")
+    b = keyed.select(F.col(id_col).alias("id_b"),
+                     F.col(vec_col).alias("vb"), "table", "bucket")
+    cand = (a.join(b, ["table", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "va", "vb")
+            .dropDuplicates(["id_a", "id_b"]))
+    scored = with_cosine(cand, "va", "vb")
+    return (scored.filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b",
+                    F.round("cosine", 4).alias("cosine_r4")))
+
+
 def ivf_train(emb: DataFrame, k: int = 8, iters: int = 2,
               id_col: str = "vec_id", vec_col: str = "embedding"
               ) -> list[list[float]]:

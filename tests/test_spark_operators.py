@@ -266,3 +266,20 @@ def test_simhash_banded_pairs_match_allpairs_no_cartesian(spark):
                          ham.alias("hamming")))
         assert banded.exceptAll(truth).count() == 0
         assert truth.exceptAll(banded).count() == 0
+
+
+def test_embedding_near_dup_catches_exact_copies_no_cartesian(spark):
+    """Identical vectors share every LSH bucket, so all injected copy
+    pairs must surface at cosine 1.0 — through an equi-join plan."""
+    from html_parser_spark.operators import similarity
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dup = emb.filter(F.col("vec_id") < 10) \
+        .withColumn("vec_id", F.col("vec_id") + 100_000)
+    pairs = similarity.embedding_near_dup_pairs(
+        emb.unionByName(dup), dim=64, threshold=0.9)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    got = {(r["id_a"], r["id_b"]): r["cosine_r4"] for r in pairs.collect()}
+    for i in range(10):
+        assert got.get((i, i + 100_000)) == 1.0
