@@ -470,6 +470,28 @@ def _q_curation_pipeline(spark, sf_dir):
     return kept
 
 
+def _q_crawl_window_stats(spark, sf_dir):
+    """Tumbling-window crawl stats over warc_ts — the batch twin of
+    the watermarked streaming aggregation (same function builds both;
+    tests/test_streaming.py asserts the drained stream equals this).
+    warc_ts is sha256-derived from the url, so DuckDB recomputes the
+    exact windows."""
+    from html_parser_spark.streaming.windowed import crawl_window_counts
+    return (crawl_window_counts(pages_df(spark, sf_dir))
+            .select("window_start", "n_docs"))
+
+
+_CRAWL_WINDOW_SQL = f"""
+WITH ts AS (
+  SELECT TIMESTAMP '2025-01-01'
+         + (('0x' || substr(sha256({URL_SQL}), 1, 8))::bigint
+            % 31536000) * INTERVAL 1 SECOND AS warc_ts
+  FROM documents)
+SELECT epoch(time_bucket(INTERVAL 6 HOUR, warc_ts))::bigint AS window_start,
+       count(*) AS n_docs
+FROM ts GROUP BY 1"""
+
+
 def _q_conformance(spark, sf_dir):
     """html5lib-format conformance suites distributed through the same
     engine the extraction UDF ships. No SQL oracle (the case corpus
@@ -556,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_ivf": _q_sim_ivf,
         "dedup_embedding": _q_dedup_embedding,
         "curation_pipeline": _q_curation_pipeline,
+        "crawl_window_stats": _q_crawl_window_stats,
         "fragment_extract": _q_fragment_extract,
         "conformance_pass_rate": _q_conformance,
         "multimodal_decode": _q_multimodal_decode,
@@ -638,6 +661,7 @@ SELECT q_id, neighbor_id, rank, cosine_r4 FROM r WHERE rank <= 5""",
         "similarity_ann_lsh": _ann_lsh_sql(),
         "similarity_ann_ivf": _ann_ivf_sql(),
         "dedup_embedding": _dedup_embedding_sql(),
+        "crawl_window_stats": _CRAWL_WINDOW_SQL,
         "curation_pipeline": f"""
 SELECT {URL_SQL} || '?c=0' AS kept_url
 FROM documents WHERE length({TEXT_SQL}) >= 200""",

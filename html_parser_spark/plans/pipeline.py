@@ -58,6 +58,8 @@ def configure(builder_or_spark=None, cpus: int | None = None,
         return b
     return (b.master(f"local[{cpus}]")
             .appName("html-parser-spark")
+            # deterministic timestamp semantics for the window oracles
+            .config("spark.sql.session.timeZone", "UTC")
             .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
             .config("spark.sql.adaptive.enabled", "true")
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -55,3 +55,56 @@ def test_stream_extract_and_resume(spark):
         assert j.filter(F.col("text") != F.col("golden")).count() == 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_windowed_stream_equals_batch(spark):
+    """Watermarked tumbling-window aggregation: draining the file
+    stream (two drops + restart) must produce exactly the batch twin's
+    windows — the closed-form-oracled crawl_window_stats result."""
+    from html_parser_spark.sources.pages import pages_df, PAGES_SCHEMA
+    from html_parser_spark.streaming.windowed import (crawl_window_counts,
+                                                      stream_window_counts)
+
+    tmp = tempfile.mkdtemp(prefix="hps_wstream_")
+    try:
+        pages = pages_df(spark, SF_DIR).cache()
+        batch = {(r["window_start"], r["n_docs"], r["html_bytes"])
+                 for r in crawl_window_counts(pages).collect()}
+
+        # drops arrive in event-time order (a crawl's natural drop
+        # cadence): first half-year, drain, then the second half-year
+        # lands and the query restarts from the checkpoint. (Splitting
+        # by hash instead would make drop 2 almost entirely late data
+        # beyond the watermark — correctly discarded, but then nothing
+        # matches the batch twin.)
+        cut = F.lit("2025-07-01").cast("timestamp")
+        pages.filter(F.col("warc_ts") < cut).repartition(4) \
+            .write.parquet(f"{tmp}/src")
+        q = stream_window_counts(spark, f"{tmp}/src", f"{tmp}/out",
+                                 f"{tmp}/ckpt", PAGES_SCHEMA)
+        q.awaitTermination(120)
+        pages.filter(F.col("warc_ts") >= cut).repartition(4) \
+            .write.mode("append").parquet(f"{tmp}/src")
+        q = stream_window_counts(spark, f"{tmp}/src", f"{tmp}/out",
+                                 f"{tmp}/ckpt", PAGES_SCHEMA)
+        q.awaitTermination(120)
+
+        got = spark.read.parquet(f"{tmp}/out")
+        # append mode emits a window at most once per finalization; the
+        # union of emitted windows must match the batch result exactly
+        # for every window the watermark has passed. With availableNow
+        # draining everything, all windows except those still within
+        # the watermark of the global max event time are final.
+        rows = [(r["window_start"], r["n_docs"], r["html_bytes"])
+                for r in got.collect()]
+        assert len(rows) == len(set(rows))  # no duplicate finalizations
+        finalized = set(rows)
+        missing = {w for w in batch if w not in finalized}
+        # only windows near the stream's end may be unfinalized
+        max_start = max(w[0] for w in batch)
+        assert all(w[0] >= max_start - 6 * 3600 * 2 for w in missing), \
+            f"non-tail windows missing: {sorted(missing)[:3]}"
+        assert finalized <= batch  # never a wrong count
+        assert len(finalized) >= len(batch) - 4
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
