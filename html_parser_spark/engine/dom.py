@@ -89,7 +89,7 @@ class DocumentType(Node):
 
 
 class Element(ParentNode):
-    __slots__ = ("name", "namespace", "attrs", "content")
+    __slots__ = ("name", "namespace", "attrs", "content", "skey")
 
     def __init__(self, name: str, namespace: str = HTML_NS, attrs: dict | None = None) -> None:
         # fields inlined (no super() chain): Element construction is one
@@ -98,6 +98,10 @@ class Element(ParentNode):
         self.children = []
         self.name = name
         self.namespace = namespace
+        # precomputed scope key: (ns, name) tuples are probed against
+        # the scope frozensets on every in-scope walk; name/namespace
+        # are immutable after construction so the tuple is built once
+        self.skey = (namespace, name)
         self.attrs: dict = attrs if attrs is not None else {}
         # <template> contents live in a separate fragment, not in children
         # (WHATWG "template contents"; the reference flattens them due to a

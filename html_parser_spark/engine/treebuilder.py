@@ -155,7 +155,7 @@ class TreeBuilder:
         t = self.tokenizer
         if name in ("title", "textarea"):
             t.state = tz.RCDATA
-        elif name in ("style", "xmp", "iframe", "noembed", "noframes"):
+        elif name in {"style", "xmp", "iframe", "noembed", "noframes"}:
             t.state = tz.RAWTEXT
         elif name == "script":
             t.state = tz.SCRIPT_DATA
@@ -199,13 +199,17 @@ class TreeBuilder:
 
     def _in_scope(self, target, scope=SCOPE_DEFAULT) -> bool:
         """target: tag name (HTML ns) or Element identity."""
-        for node in reversed(self.stack):
-            if isinstance(target, str):
-                if node.namespace == HTML_NS and node.name == target:
+        if type(target) is str:  # type test hoisted out of the walk
+            for node in reversed(self.stack):
+                if node.name == target and node.namespace == HTML_NS:
                     return True
-            elif node is target:
+                if node.skey in scope:
+                    return False
+            return False
+        for node in reversed(self.stack):
+            if node is target:
                 return True
-            if (node.namespace, node.name) in scope:
+            if node.skey in scope:
                 return False
         return False
 
@@ -225,7 +229,7 @@ class TreeBuilder:
         for node in reversed(self.stack):
             if node.namespace == HTML_NS and node.name in names:
                 return True
-            if (node.namespace, node.name) in scope:
+            if node.skey in scope:
                 return False
         return False
 
@@ -270,8 +274,8 @@ class TreeBuilder:
     def clear_to_table_body_context(self) -> None:
         while self.stack:
             node = self.stack[-1]
-            if node.namespace == HTML_NS and node.name in (
-                    "tbody", "tfoot", "thead", "template", "html"):
+            if node.namespace == HTML_NS and node.name in {
+                    "tbody", "tfoot", "thead", "template", "html"}:
                 return
             self.stack.pop()
 
@@ -336,7 +340,7 @@ class TreeBuilder:
         Parity: /root/reference/lib/Parser/TreeConstructor.php:3666-3750."""
         target = override if override is not None else self.current
         if (self.foster and target is not None and target.namespace == HTML_NS
-                and target.name in ("table", "tbody", "tfoot", "thead", "tr")):
+                and target.name in {"table", "tbody", "tfoot", "thead", "tr"}):
             last_template_i = last_table_i = -1
             for i in range(len(self.stack) - 1, -1, -1):
                 node = self.stack[i]
@@ -378,7 +382,11 @@ class TreeBuilder:
             if type(prev) is Text:
                 prev.data += data
             else:
-                parent.append(Text(data))
+                # inlined append: a fresh Text never has a parent, so
+                # the generic reparent check is dead weight here
+                t = Text(data)
+                t.parent = parent
+                children.append(t)
             return
         parent, before = self.appropriate_place(override)
         if isinstance(parent, Document):
@@ -672,7 +680,7 @@ class TreeBuilder:
 
     @staticmethod
     def _is_mathml_text_ip(el: Element) -> bool:
-        return el.namespace == MATHML_NS and el.name in ("mi", "mo", "mn", "ms", "mtext")
+        return el.namespace == MATHML_NS and el.name in {"mi", "mo", "mn", "ms", "mtext"}
 
     @staticmethod
     def _is_html_ip(el: Element) -> bool:
@@ -926,7 +934,7 @@ class TreeBuilder:
             name = token[1]
             if name == "html":
                 return self.mode_in_body(token)
-            if name in ("basefont", "bgsound", "link", "meta", "noframes", "style"):
+            if name in {"basefont", "bgsound", "link", "meta", "noframes", "style"}:
                 return self.mode_in_head(token)
             if name in ("head", "noscript"):
                 self.error("unexpected-start-tag")
@@ -983,8 +991,8 @@ class TreeBuilder:
                 self.insert_start_tag(token)
                 self.mode = IN_FRAMESET
                 return None
-            if name in ("base", "basefont", "bgsound", "link", "meta", "noframes",
-                        "script", "style", "template", "title"):
+            if name in {"base", "basefont", "bgsound", "link", "meta", "noframes",
+                        "script", "style", "template", "title"}:
                 self.error("unexpected-start-tag-out-of-head")
                 self.stack.append(self.head)
                 result = self.mode_in_head(token)
@@ -1052,8 +1060,8 @@ class TreeBuilder:
                     if k not in top.attrs:
                         top.attrs[k] = v
             return None
-        if name in ("base", "basefont", "bgsound", "link", "meta", "noframes",
-                    "script", "style", "template", "title"):
+        if name in {"base", "basefont", "bgsound", "link", "meta", "noframes",
+                    "script", "style", "template", "title"}:
             return self.mode_in_head(token)
         if name == "body":
             self.error("unexpected-start-tag")
@@ -1082,12 +1090,22 @@ class TreeBuilder:
                 self.close_p()
             self.insert_start_tag(token)
             return None
-        if name in ("h1", "h2", "h3", "h4", "h5", "h6"):
+        # hot path: inline formatting tags (reordered first among the
+        # name checks after the block set — by far the most frequent
+        # start tags on real text-heavy pages; branch order here is
+        # semantically free since checks are exclusive on name)
+        if name in {"b", "big", "code", "em", "font", "i", "s", "small",
+                    "strike", "strong", "tt", "u"}:
+            self.reconstruct_afe()
+            el = self.insert_start_tag(token)
+            self.push_afe(el, name, attrs)
+            return None
+        if name in {"h1", "h2", "h3", "h4", "h5", "h6"}:
             if self.in_button_scope("p"):
                 self.close_p()
             cur = self.current
             if (cur.namespace == HTML_NS
-                    and cur.name in ("h1", "h2", "h3", "h4", "h5", "h6")):
+                    and cur.name in {"h1", "h2", "h3", "h4", "h5", "h6"}):
                 self.error("unexpected-start-tag")
                 self.stack.pop()
             self.insert_start_tag(token)
@@ -1178,12 +1196,6 @@ class TreeBuilder:
             el = self.insert_start_tag(token)
             self.push_afe(el, name, attrs)
             return None
-        if name in ("b", "big", "code", "em", "font", "i", "s", "small",
-                    "strike", "strong", "tt", "u"):
-            self.reconstruct_afe()
-            el = self.insert_start_tag(token)
-            self.push_afe(el, name, attrs)
-            return None
         if name == "nobr":
             self.reconstruct_afe()
             if self.in_scope("nobr"):
@@ -1206,7 +1218,7 @@ class TreeBuilder:
             self.frameset_ok = False
             self.mode = IN_TABLE
             return None
-        if name in ("area", "br", "embed", "img", "keygen", "wbr"):
+        if name in {"area", "br", "embed", "img", "keygen", "wbr"}:
             self.reconstruct_afe()
             self.insert_start_tag(token, push=False)
             self.frameset_ok = False
@@ -1316,8 +1328,8 @@ class TreeBuilder:
             self.ack_self_closing = True
             self._insert_foreign(name, adjusted, SVG_NS, token[3])
             return None
-        if name in ("caption", "col", "colgroup", "frame", "head",
-                    "tbody", "td", "tfoot", "th", "thead", "tr"):
+        if name in {"caption", "col", "colgroup", "frame", "head",
+                    "tbody", "td", "tfoot", "th", "thead", "tr"}:
             self.error("unexpected-start-tag-ignored")
             return None
         # any other start tag
@@ -1363,10 +1375,10 @@ class TreeBuilder:
                 self.error("unexpected-end-tag")
                 return None
             for node in self.stack:
-                if not (node.namespace == HTML_NS and node.name in (
+                if not (node.namespace == HTML_NS and node.name in {
                         "dd", "dt", "li", "optgroup", "option", "p", "rb", "rp",
                         "rt", "rtc", "tbody", "td", "tfoot", "th", "thead", "tr",
-                        "body", "html")):
+                        "body", "html"}):
                     self.error("expected-closing-tag-but-got-end-tag")
                     break
             self.mode = AFTER_BODY
@@ -1426,7 +1438,7 @@ class TreeBuilder:
                 self.error("unexpected-end-tag")
             self.pop_until(name)
             return None
-        if name in ("h1", "h2", "h3", "h4", "h5", "h6"):
+        if name in {"h1", "h2", "h3", "h4", "h5", "h6"}:
             if not self.any_in_scope(("h1", "h2", "h3", "h4", "h5", "h6")):
                 self.error("unexpected-end-tag")
                 return None
@@ -1488,7 +1500,7 @@ class TreeBuilder:
         kind = token[0]
         cur = self.current
         if kind in (CHARS, NULLS) and cur is not None and cur.namespace == HTML_NS \
-                and cur.name in ("table", "tbody", "template", "tfoot", "thead", "tr"):
+                and cur.name in {"table", "tbody", "template", "tfoot", "thead", "tr"}:
             self.pending_table_text = []
             self.original_mode = self.mode
             self.mode = IN_TABLE_TEXT
@@ -1559,8 +1571,8 @@ class TreeBuilder:
                 self.pop_until("table")
                 self.reset_insertion_mode()
                 return None
-            if name in ("body", "caption", "col", "colgroup", "html",
-                        "tbody", "td", "tfoot", "th", "thead", "tr"):
+            if name in {"body", "caption", "col", "colgroup", "html",
+                        "tbody", "td", "tfoot", "th", "thead", "tr"}:
                 self.error("unexpected-end-tag")
                 return None
             if name == "template":
@@ -1614,16 +1626,16 @@ class TreeBuilder:
         if kind == END and name == "caption":
             self._close_caption()
             return None
-        if (kind == START and name in ("caption", "col", "colgroup", "tbody",
-                                       "td", "tfoot", "th", "thead", "tr")) or \
+        if (kind == START and name in {"caption", "col", "colgroup", "tbody",
+                                       "td", "tfoot", "th", "thead", "tr"}) or \
                 (kind == END and name == "table"):
             if not self.in_table_scope("caption"):
                 self.error("unexpected-token")
                 return None
             self._close_caption()
             return token
-        if kind == END and name in ("body", "col", "colgroup", "html",
-                                    "tbody", "td", "tfoot", "th", "thead", "tr"):
+        if kind == END and name in {"body", "col", "colgroup", "html",
+                                    "tbody", "td", "tfoot", "th", "thead", "tr"}:
             self.error("unexpected-end-tag")
             return None
         return self.mode_in_body(token)
@@ -1703,7 +1715,7 @@ class TreeBuilder:
                 self.insert_element("tr", {})
                 self.mode = IN_ROW
                 return token
-            if name in ("caption", "col", "colgroup", "tbody", "tfoot", "thead"):
+            if name in {"caption", "col", "colgroup", "tbody", "tfoot", "thead"}:
                 if not self.any_in_scope(("tbody", "thead", "tfoot"), SCOPE_TABLE):
                     self.error("unexpected-token")
                     return None
@@ -1728,7 +1740,7 @@ class TreeBuilder:
                 self.stack.pop()
                 self.mode = IN_TABLE
                 return token
-            if name in ("body", "caption", "col", "colgroup", "html", "td", "th", "tr"):
+            if name in {"body", "caption", "col", "colgroup", "html", "td", "th", "tr"}:
                 self.error("unexpected-end-tag")
                 return None
         return self.mode_in_table(token)
@@ -1743,7 +1755,7 @@ class TreeBuilder:
                 self.mode = IN_CELL
                 self.afe.append(MARKER)
                 return None
-            if name in ("caption", "col", "colgroup", "tbody", "tfoot", "thead", "tr"):
+            if name in {"caption", "col", "colgroup", "tbody", "tfoot", "thead", "tr"}:
                 if not self.in_table_scope("tr"):
                     self.error("unexpected-token")
                     return None
@@ -1778,7 +1790,7 @@ class TreeBuilder:
                 self.stack.pop()
                 self.mode = IN_TABLE_BODY
                 return token
-            if name in ("body", "caption", "col", "colgroup", "html", "td", "th"):
+            if name in {"body", "caption", "col", "colgroup", "html", "td", "th"}:
                 self.error("unexpected-end-tag")
                 return None
         return self.mode_in_table(token)
@@ -1798,17 +1810,17 @@ class TreeBuilder:
                 self.clear_afe_to_marker()
                 self.mode = IN_ROW
                 return None
-            if name in ("body", "caption", "col", "colgroup", "html"):
+            if name in {"body", "caption", "col", "colgroup", "html"}:
                 self.error("unexpected-end-tag")
                 return None
-            if name in ("table", "tbody", "tfoot", "thead", "tr"):
+            if name in {"table", "tbody", "tfoot", "thead", "tr"}:
                 if not self.in_table_scope(name):
                     self.error("unexpected-end-tag")
                     return None
                 self._close_cell()
                 return token
-        elif kind == START and name in ("caption", "col", "colgroup", "tbody",
-                                        "td", "tfoot", "th", "thead", "tr"):
+        elif kind == START and name in {"caption", "col", "colgroup", "tbody",
+                                        "td", "tfoot", "th", "thead", "tr"}:
             if not (self.in_table_scope("td") or self.in_table_scope("th")):
                 self.error("unexpected-start-tag")
                 return None
@@ -1835,10 +1847,10 @@ class TreeBuilder:
             return self.mode_in_body(token)
         if kind == START:
             name = token[1]
-            if name in ("base", "basefont", "bgsound", "link", "meta", "noframes",
-                        "script", "style", "template", "title"):
+            if name in {"base", "basefont", "bgsound", "link", "meta", "noframes",
+                        "script", "style", "template", "title"}:
                 return self.mode_in_head(token)
-            if name in ("caption", "colgroup", "tbody", "tfoot", "thead"):
+            if name in {"caption", "colgroup", "tbody", "tfoot", "thead"}:
                 self.template_modes.pop()
                 self.template_modes.append(IN_TABLE)
                 self.mode = IN_TABLE
