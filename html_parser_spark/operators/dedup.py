@@ -195,8 +195,11 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     Candidate generation is therefore an equi-join on
     ``(band_idx, band_value)`` — shuffle keyed on the band value,
     O(bands × docs) index rows — followed by an exact Hamming
-    post-filter. Results are identical to the all-pairs formulation."""
-    s = simhash(docs)
+    post-filter. Results are identical to the all-pairs formulation.
+
+    The fingerprint table feeds both join sides, so it is persisted
+    (same rationale as the MinHash signature table)."""
+    s = simhash(docs, bits).persist()
     n_bands = max_hamming + 1
     # ceil-split the bit range so every bit lands in exactly one band
     base = bits // n_bands

@@ -112,16 +112,24 @@ def embedding_near_dup_pairs(emb: DataFrame, dim: int,
     tables bounds the missed-pair rate, and because the hyperplanes are
     md5-deterministic the full result (candidates AND cosines) is
     closed-form for the oracle. Returns (id_a, id_b, cosine_r4)."""
-    keyed = bucket_keys(emb, dim, n_planes, n_tables, vec_col)
-    a = keyed.select(F.col(id_col).alias("id_a"),
-                     F.col(vec_col).alias("va"), "table", "bucket")
-    b = keyed.select(F.col(id_col).alias("id_b"),
-                     F.col(vec_col).alias("vb"), "table", "bucket")
+    keyed = bucket_keys(emb, dim, n_planes, n_tables, vec_col) \
+        .select(id_col, "table", "bucket")
+    a = keyed.select(F.col(id_col).alias("id_a"), "table", "bucket")
+    b = keyed.select(F.col(id_col).alias("id_b"), "table", "bucket")
+    # candidates carry ids only — the distinct shuffles 16-byte rows,
+    # not 2×dim float payloads; vectors rejoin afterwards keyed on id
+    # (bucketable/co-locatable with the stored embedding table at
+    # 10^12 rows)
     cand = (a.join(b, ["table", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "va", "vb")
-            .dropDuplicates(["id_a", "id_b"]))
-    scored = with_cosine(cand, "va", "vb")
+            .select("id_a", "id_b")
+            .distinct())
+    ea = emb.select(F.col(id_col).alias("id_a"),
+                    F.col(vec_col).alias("va"))
+    eb = emb.select(F.col(id_col).alias("id_b"),
+                    F.col(vec_col).alias("vb"))
+    scored = with_cosine(cand.join(ea, "id_a").join(eb, "id_b"),
+                         "va", "vb")
     return (scored.filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b",
                     F.round("cosine", 4).alias("cosine_r4")))
