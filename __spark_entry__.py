@@ -492,6 +492,42 @@ SELECT epoch(time_bucket(INTERVAL 6 HOUR, warc_ts))::bigint AS window_start,
 FROM ts GROUP BY 1"""
 
 
+_SESSION_GAP_S = 604_800  # 7 days: ~15 sessions/source at sf0.01
+
+
+def _q_crawl_sessions(spark, sf_dir):
+    """Gap-based sessionization (batch twin of the
+    applyInPandasWithState streaming operator in streaming/sessions.py;
+    tests/test_streaming.py pins stream==batch). Window-function
+    Catalyst plan; source recovered from the url path."""
+    from html_parser_spark.streaming.sessions import batch_sessions
+    pages = pages_df(spark, sf_dir)
+    src = pages.withColumn(
+        "source", F.regexp_extract("url", r"example\.org/([^/]+)/", 1))
+    return batch_sessions(src, gap_s=_SESSION_GAP_S)
+
+
+_CRAWL_SESSIONS_SQL = f"""
+WITH t AS (
+  SELECT source,
+         epoch(TIMESTAMP '2025-01-01'
+               + (('0x' || substr(sha256({URL_SQL}), 1, 8))::bigint
+                  % 31536000) * INTERVAL 1 SECOND)::bigint AS ts
+  FROM documents),
+g AS (SELECT source, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w <= {_SESSION_GAP_S}
+                  THEN 0 ELSE 1 END AS nf
+      FROM t WINDOW w AS (PARTITION BY source ORDER BY ts)),
+s AS (SELECT source, ts,
+             sum(nf) OVER (PARTITION BY source ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g)
+SELECT source, session_id, count(*) AS n_docs,
+       min(ts) AS start_ts, max(ts) AS end_ts
+FROM s GROUP BY 1, 2"""
+
+
 def _q_conformance(spark, sf_dir):
     """html5lib-format conformance suites distributed through the same
     engine the extraction UDF ships. No SQL oracle (the case corpus
@@ -579,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _q_dedup_embedding,
         "curation_pipeline": _q_curation_pipeline,
         "crawl_window_stats": _q_crawl_window_stats,
+        "crawl_sessions": _q_crawl_sessions,
         "fragment_extract": _q_fragment_extract,
         "conformance_pass_rate": _q_conformance,
         "multimodal_decode": _q_multimodal_decode,
@@ -662,6 +699,7 @@ SELECT q_id, neighbor_id, rank, cosine_r4 FROM r WHERE rank <= 5""",
         "similarity_ann_ivf": _ann_ivf_sql(),
         "dedup_embedding": _dedup_embedding_sql(),
         "crawl_window_stats": _CRAWL_WINDOW_SQL,
+        "crawl_sessions": _CRAWL_SESSIONS_SQL,
         "curation_pipeline": f"""
 SELECT {URL_SQL} || '?c=0' AS kept_url
 FROM documents WHERE length({TEXT_SQL}) >= 200""",

@@ -10,7 +10,7 @@ import pytest
 
 pyspark = pytest.importorskip("pyspark")
 
-from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import Window, functions as F  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -106,5 +106,54 @@ def test_windowed_stream_equals_batch(spark):
             f"non-tail windows missing: {sorted(missing)[:3]}"
         assert finalized <= batch  # never a wrong count
         assert len(finalized) >= len(batch) - 4
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stateful_sessionization_stream_equals_batch(spark):
+    """applyInPandasWithState sessionization: closed sessions emitted
+    by the drained stream (two event-time-ordered drops + checkpoint
+    restart) must equal the batch twin minus each source's still-open
+    tail session (which stays in state)."""
+    from html_parser_spark.sources.pages import pages_df, PAGES_SCHEMA
+    from html_parser_spark.streaming.sessions import (batch_sessions,
+                                                      stream_sessions)
+
+    gap = 604_800
+    tmp = tempfile.mkdtemp(prefix="hps_sess_")
+    try:
+        pages = pages_df(spark, SF_DIR).withColumn(
+            "source",
+            F.regexp_extract("url", r"example\.org/([^/]+)/", 1)).cache()
+        batch = {(r["source"], r["session_id"], r["n_docs"],
+                  r["start_ts"], r["end_ts"])
+                 for r in batch_sessions(pages, gap_s=gap).collect()}
+        open_tails = {(r["source"], r["session_id"], r["n_docs"],
+                       r["start_ts"], r["end_ts"])
+                      for r in batch_sessions(pages, gap_s=gap)
+                      .withColumn("rk", F.row_number().over(
+                          Window.partitionBy("source")
+                          .orderBy(F.col("session_id").desc())))
+                      .filter(F.col("rk") == 1).drop("rk").collect()}
+
+        cut = F.lit("2025-07-01").cast("timestamp")
+        pages.filter(F.col("warc_ts") < cut).repartition(4) \
+            .write.parquet(f"{tmp}/src")
+        schema = PAGES_SCHEMA + ", source string"
+        q = stream_sessions(spark, f"{tmp}/src", f"{tmp}/out",
+                            f"{tmp}/ckpt", schema, gap_s=gap)
+        q.awaitTermination(120)
+        pages.filter(F.col("warc_ts") >= cut).repartition(4) \
+            .write.mode("append").parquet(f"{tmp}/src")
+        q = stream_sessions(spark, f"{tmp}/src", f"{tmp}/out",
+                            f"{tmp}/ckpt", schema, gap_s=gap)
+        q.awaitTermination(120)
+
+        emitted = {(r["source"], r["session_id"], r["n_docs"],
+                    r["start_ts"], r["end_ts"])
+                   for r in spark.read.parquet(f"{tmp}/out").collect()}
+        assert emitted == batch - open_tails, (
+            f"extra={sorted(emitted - batch)[:3]} "
+            f"missing={sorted(batch - open_tails - emitted)[:3]}")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
