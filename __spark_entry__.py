@@ -530,14 +530,27 @@ FROM s GROUP BY 1, 2"""
 
 def _q_conformance(spark, sf_dir):
     """html5lib-format conformance suites distributed through the same
-    engine the extraction UDF ships. No SQL oracle (the case corpus
-    isn't one of the driver's DuckDB views); 100%-pass is asserted by
-    tests/test_engine_conformance.py on identical fixtures."""
+    engine the extraction UDF ships. The oracle asserts the 100%-pass
+    invariant with per-kind case counts: n_cases comes from the same
+    fixture loader (a constant of the repo), but n_passed == n_cases
+    is a real claim — the Spark side genuinely runs every case through
+    the engine."""
     res = conformance.conformance_results(spark)
     return (res.groupBy("kind")
             .agg(F.count("*").alias("n_cases"),
                  F.sum(F.col("passed").cast("long")).alias("n_passed"))
             .orderBy("kind"))
+
+
+def _conformance_sql() -> str:
+    from collections import Counter
+    from html_parser_spark.operators.conformance import load_all_cases
+    counts = Counter(kind for _, kind, _ in load_all_cases())
+    rows = " UNION ALL ".join(
+        f"SELECT '{k}' AS kind, {n}::bigint AS n_cases, "
+        f"{n}::bigint AS n_passed"
+        for k, n in sorted(counts.items()))
+    return rows
 
 
 def _q_multimodal_decode(spark, sf_dir):
@@ -700,6 +713,7 @@ SELECT q_id, neighbor_id, rank, cosine_r4 FROM r WHERE rank <= 5""",
         "dedup_embedding": _dedup_embedding_sql(),
         "crawl_window_stats": _CRAWL_WINDOW_SQL,
         "crawl_sessions": _CRAWL_SESSIONS_SQL,
+        "conformance_pass_rate": _conformance_sql(),
         "curation_pipeline": f"""
 SELECT {URL_SQL} || '?c=0' AS kept_url
 FROM documents WHERE length({TEXT_SQL}) >= 200""",

@@ -16,7 +16,7 @@ def test_oracle_keys_subset_of_queries():
     qs, os_ = set(e.queries()), set(e.oracle_sql())
     assert os_ <= qs, f"orphan oracles: {os_ - qs}"
     # rows-only entries are deliberate and documented
-    assert qs - os_ == {"conformance_pass_rate"}
+    assert qs - os_ == set()  # every query is value-oracled
 
 
 def test_oracles_are_valid_duckdb_sql():
