@@ -308,6 +308,20 @@ def _q_extract_spans(spark, sf_dir):
     return out.select("url", n_p.cast("long").alias("n_paragraphs"))
 
 
+def _q_extract_transport(spark, sf_dir):
+    """Charset::fromTransport end-to-end: variant-4 docs (whose only
+    in-band signal is the XML declaration) get an HTTP transport
+    charset of utf-8, which sits ABOVE the prescan in the sniff ladder
+    and overrides it (and is authoritative: no meta restart). The
+    oracle flips exactly those docs' reported encoding."""
+    pages = pages_df(spark, sf_dir)
+    did = F.regexp_extract("url", r"doc(\d{8})\.html", 1).cast("long")
+    pages = pages.withColumn(
+        "transport", F.when(did % 10 == 4, F.lit("utf-8")))
+    out = extract_pages(pages, with_spans=False, transport_col="transport")
+    return out.select("url", "encoding", "text")
+
+
 def _q_roundtrip(spark, sf_dir):
     rt = roundtrip_check(pages_df(spark, sf_dir))
     return rt.agg(F.count("*").alias("n_docs"),
@@ -613,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_meta": _q_extract_meta,
         "extract_enc_distribution": _q_extract_enc_distribution,
         "extract_spans": _q_extract_spans,
+        "extract_with_transport": _q_extract_transport,
         "serializer_roundtrip": _q_roundtrip,
         "resume_antijoin": _q_resume_antijoin,
         "dedup_exact": _q_dedup_exact,
@@ -654,6 +669,11 @@ FROM documents""",
 SELECT {ENC_SQL} AS encoding, count(*) AS n_docs FROM documents GROUP BY 1""",
         "extract_spans": f"""
 SELECT {URL_SQL} AS url, {N_PARAGRAPHS_SQL} AS n_paragraphs FROM documents""",
+        "extract_with_transport": f"""
+SELECT {URL_SQL} AS url,
+       CASE WHEN doc_id % 10 = 4 THEN 'utf-8' ELSE {ENC_SQL} END AS encoding,
+       {TEXT_SQL} AS text
+FROM documents""",
         "serializer_roundtrip": """
 SELECT count(*) AS n_docs, count(*) AS n_idempotent FROM documents""",
         "resume_antijoin": f"""

@@ -46,18 +46,24 @@ EXTRACT_SCHEMA = (
 
 def parse_extract_batch(pdf: pd.DataFrame, part_id: int, batch_seq: int,
                         max_html_bytes: int, max_spans: int,
-                        with_spans: bool) -> pd.DataFrame:
-    """Parse+extract one Arrow batch (pure pandas-in/pandas-out)."""
+                        with_spans: bool,
+                        transport_col: str | None = None) -> pd.DataFrame:
+    """Parse+extract one Arrow batch (pure pandas-in/pandas-out).
+    ``transport_col`` names an optional per-row Content-Type charset
+    column (the crawl's HTTP header) fed into the sniff ladder as the
+    transport layer (Charset::fromTransport semantics)."""
     out = {k: [] for k in ("url", "text", "spans", "encoding", "quirks_mode",
                            "n_errors", "n_tokens", "n_elements",
                            "html_bytes", "truncated")}
-    for url, html in zip(pdf["url"], pdf["html"]):
+    transports = (pdf[transport_col] if transport_col is not None
+                  else [None] * len(pdf))
+    for url, html, tc in zip(pdf["url"], pdf["html"], transports):
         raw = bytes(html) if html is not None else b""
         truncated = False
         if max_html_bytes and len(raw) > max_html_bytes:
             raw, truncated = raw[:max_html_bytes], True
         try:
-            o = parse(raw)
+            o = parse(raw, transport_charset=tc if tc else None)
             if with_spans:
                 text, spans = extract_text(o.document, max_spans=max_spans)
             else:
@@ -86,10 +92,12 @@ def parse_extract_batch(pdf: pd.DataFrame, part_id: int, batch_seq: int,
 
 
 def extract_pages(pages_df, max_html_bytes: int = 64 * 1024 * 1024,
-                  max_spans: int = 10_000, with_spans: bool = True):
+                  max_spans: int = 10_000, with_spans: bool = True,
+                  transport_col: str | None = None):
     """pages(url, html, ...) -> extraction output DataFrame.
 
-    Column pruning: selects only (url, html) before the UDF so the scan
+    Column pruning: selects only (url, html) — plus the optional
+    per-row transport-charset column — before the UDF so the scan
     never reads columns the kernel doesn't need.
     """
 
@@ -109,13 +117,15 @@ def extract_pages(pages_df, max_html_bytes: int = 64 * 1024 * 1024,
         try:
             for seq, pdf in enumerate(batches):
                 yield parse_extract_batch(pdf, part_id, seq, max_html_bytes,
-                                          max_spans, with_spans)
+                                          max_spans, with_spans,
+                                          transport_col)
                 gc.collect()
         finally:
             if gc_was_enabled:
                 gc.enable()
 
-    return pages_df.select("url", "html").mapInPandas(run, schema=EXTRACT_SCHEMA)
+    cols = ["url", "html"] + ([transport_col] if transport_col else [])
+    return pages_df.select(*cols).mapInPandas(run, schema=EXTRACT_SCHEMA)
 
 
 def roundtrip_check(pages_df):
