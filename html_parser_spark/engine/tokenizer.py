@@ -652,11 +652,12 @@ class Tokenizer:
         data: list[str] = []
         # comment start / comment start dash special cases
         if pos < n and s[pos] == ">":
-            self.error("abrupt-closing-of-empty-comment")
+            self.error("abrupt-closing-of-empty-comment", at=pos)
             self.pos = pos + 1
             return (COMMENT, "")
         if pos < n and s[pos] == "-" and pos + 1 < n and s[pos + 1] == ">":
-            self.error("abrupt-closing-of-empty-comment")
+            # comment-start-dash sees '>' — error points at the '>'
+            self.error("abrupt-closing-of-empty-comment", at=pos + 1)
             self.pos = pos + 2
             return (COMMENT, "")
         while True:
@@ -708,7 +709,7 @@ class Tokenizer:
             if c == "!":
                 pos += 1
                 if pos < n and s[pos] == ">":
-                    self.error("incorrectly-closed-comment")
+                    self.error("incorrectly-closed-comment", at=pos)
                     self.pos = pos + 1
                     return (COMMENT, "".join(data))
                 if pos >= n:
@@ -758,10 +759,10 @@ class Tokenizer:
             return (DOCTYPE, None, None, None, True)
         if s[pos] not in _WS:
             if s[pos] == ">":
-                self.error("missing-doctype-name")
+                self.error("missing-doctype-name", at=pos)
                 self.pos = pos + 1
                 return (DOCTYPE, None, None, None, True)
-            self.error("missing-whitespace-before-doctype-name")
+            self.error("missing-whitespace-before-doctype-name", at=pos)
         else:
             m = _WS_RUN.match(s, pos)
             pos = m.end()
@@ -770,7 +771,7 @@ class Tokenizer:
             self.pos = n
             return (DOCTYPE, None, None, None, True)
         if s[pos] == ">":
-            self.error("missing-doctype-name")
+            self.error("missing-doctype-name", at=pos)
             self.pos = pos + 1
             return (DOCTYPE, None, None, None, True)
         # doctype name
@@ -834,17 +835,17 @@ class Tokenizer:
                 if gt == -1:
                     self.error("eof-in-doctype")
                     return s[p + 1:].replace("\x00", "�"), n, False, True
-                self.error(f"abrupt-doctype-{kind}-identifier")
+                self.error(f"abrupt-doctype-{kind}-identifier", at=gt)
                 return s[p + 1:gt].replace("\x00", "�"), gt + 1, True, False
             if gt != -1 and gt < endq:
-                self.error(f"abrupt-doctype-{kind}-identifier")
+                self.error(f"abrupt-doctype-{kind}-identifier", at=gt)
                 return s[p + 1:gt].replace("\x00", "�"), gt + 1, True, False
             return s[p + 1:endq].replace("\x00", "�"), endq + 1, False, False
 
         # after PUBLIC/SYSTEM keyword
         p = pos
         if p < n and s[p] not in _WS and s[p] not in "\"'>":
-            self.error(f"missing-quote-before-doctype-{k1}-identifier")
+            self.error(f"missing-quote-before-doctype-{k1}-identifier", at=p)
             quirks = True
             gt = s.find(">", p)
             return public, system, True, (n if gt == -1 else gt + 1)
@@ -854,14 +855,14 @@ class Tokenizer:
             self.error("eof-in-doctype")
             return public, system, True, n
         if s[p] == ">":
-            self.error(f"missing-doctype-{k1}-identifier")
+            self.error(f"missing-doctype-{k1}-identifier", at=p)
             return public, system, True, p + 1
         if s[p] not in "\"'":
-            self.error(f"missing-quote-before-doctype-{k1}-identifier")
+            self.error(f"missing-quote-before-doctype-{k1}-identifier", at=p)
             gt = s.find(">", p)
             return public, system, True, (n if gt == -1 else gt + 1)
         if not had_ws:
-            self.error(f"missing-whitespace-after-doctype-{k1}-keyword")
+            self.error(f"missing-whitespace-after-doctype-{k1}-keyword", at=p)
         val, p, gt_ended, eof = quoted(p, k1)
         if public_first:
             public = val
@@ -891,7 +892,9 @@ class Tokenizer:
             return public, system, False, p2 + 1
         if s[p2] in "\"'":
             if p2 == p:
-                self.error("missing-whitespace-between-doctype-public-and-system-identifiers")
+                self.error(
+                    "missing-whitespace-between-doctype-public-and-system-identifiers",
+                    at=p2)
             val, p3, gt_ended, eof = quoted(p2, "system")
             system = val
             if eof or gt_ended:
@@ -905,7 +908,7 @@ class Tokenizer:
             self.error("unexpected-character-after-doctype-system-identifier")
             gt = s.find(">", p3)
             return public, system, False, (n if gt == -1 else gt + 1)
-        self.error("missing-quote-before-doctype-system-identifier")
+        self.error("missing-quote-before-doctype-system-identifier", at=p2)
         gt = s.find(">", p2)
         return public, system, True, (n if gt == -1 else gt + 1)
 
