@@ -18,3 +18,4 @@ from .parser import parse, parse_fragment, Output  # noqa: F401
 from .serializer import serialize, serialize_inner  # noqa: F401
 from .extractor import extract_text  # noqa: F401
 from .domparser import DOMParser  # noqa: F401
+from . import serializer_options  # noqa: F401  (configurable/pretty)
