@@ -93,3 +93,78 @@ def test_defaults_match_plain_serializer():
 def test_unknown_option_rejected():
     with pytest.raises(ValueError):
         so.serialize(parse("x").document, bogus=True)
+
+
+def _find(node, name):
+    """First element named `name` in tree order (any namespace)."""
+    from html_parser_spark.engine.dom import Element
+    stack = [node]
+    while stack:
+        n = stack.pop(0)
+        if isinstance(n, Element):
+            if n.name == name:
+                return n
+            stack = list(n.children) + stack
+        elif hasattr(n, "children"):
+            stack = list(n.children) + stack
+    return None
+
+
+class TestSoloNodeSerialization:
+    """Mirrors the reference's provideCustomSerializationsForNodes
+    (TestSerializer.php:478-629): single extracted/detached nodes with
+    the pretty-printer on."""
+
+    OPTS = dict(reformat_whitespace=True, indent_step=1,
+                indent_with_spaces=True, boolean_attribute_values=False)
+
+    def test_solo_p_attached_and_detached(self):
+        doc = parse("<!DOCTYPE html><html>\n <body>\n  <p> Ook! </p>"
+                    "\n </body>\n</html>").document
+        p = _find(doc, "p")
+        assert so.serialize(p, **self.OPTS) == "<p>Ook!</p>"
+        p.parent.remove(p)
+        assert so.serialize(p, **self.OPTS) == "<p>Ook!</p>"
+
+    SVG_DOC = ("<!DOCTYPE html><html>\n <body>\n"
+               '  <svg role="img" viewBox="0 0 26 26"><title>Ook</title>\n'
+               '      <rect id="eek--a" width="5" height="5"/></svg>\n'
+               " </body>\n</html>")
+
+    def test_solo_svg_inline_with_context(self):
+        doc = parse(self.SVG_DOC).document
+        svg = _find(doc, "svg")
+        assert so.serialize(svg, **self.OPTS) == (
+            '<svg role="img" viewBox="0 0 26 26"><title>Ook</title> '
+            '<rect id="eek--a" width="5" height="5"></rect></svg>')
+
+    def test_solo_svg_detached_is_block(self):
+        doc = parse(self.SVG_DOC).document
+        svg = _find(doc, "svg")
+        svg.parent.remove(svg)
+        assert so.serialize(svg, **self.OPTS) == (
+            '<svg role="img" viewBox="0 0 26 26">\n'
+            " <title>Ook</title>\n\n"
+            ' <rect id="eek--a" width="5" height="5"></rect>\n'
+            "</svg>")
+
+    def test_solo_inner_g_block_context(self):
+        doc = parse("<!DOCTYPE html><html>\n <body>\n"
+                    '  <svg><g><g><rect id="eek--a" width="5" height="5"/>'
+                    "</g></g></svg>\n  <div></div>\n </body>\n</html>"
+                    ).document
+        outer_g = _find(doc, "g")
+        inner_g = outer_g.children[0]
+        opts = dict(self.OPTS, foreign_void_end_tags=False)
+        assert so.serialize(inner_g, **opts) == (
+            '<g>\n <rect id="eek--a" width="5" height="5"/>\n</g>')
+
+    def test_solo_detached_text(self):
+        doc = parse("<!DOCTYPE html><html>\n <body>\n"
+                    "  OOK eeek ooooooook     ook\n\n </body>\n</html>"
+                    ).document
+        body = _find(doc, "body")
+        from html_parser_spark.engine.dom import Text
+        text = next(c for c in body.children if isinstance(c, Text))
+        body.remove(text)
+        assert so.serialize(text, **self.OPTS) == "OOK eeek ooooooook ook"
