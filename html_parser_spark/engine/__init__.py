@@ -14,7 +14,7 @@ DOM → output):
 Use :func:`html_parser_spark.engine.parser.parse` for the one-call API.
 """
 
-from .parser import parse, parse_fragment, Output  # noqa: F401
+from .parser import parse, parse_fragment, parse_into, Output  # noqa: F401
 from .serializer import serialize, serialize_inner  # noqa: F401
 from .extractor import extract_text  # noqa: F401
 from .domparser import DOMParser  # noqa: F401

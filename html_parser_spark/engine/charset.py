@@ -415,7 +415,13 @@ def sniff(data: bytes, transport_charset: str | None = None,
     enc = from_bom(data)
     if enc:
         return enc, CERTAIN
-    enc = label_to_encoding(transport_charset) if transport_charset else None
+    enc = None
+    if transport_charset:
+        # accepts a bare label or a full Content-Type string (the
+        # reference's encodingOrContentType parameter, Parser.php:55)
+        enc = label_to_encoding(transport_charset)
+        if enc is None and "/" in transport_charset:
+            enc = from_transport(transport_charset)
     if enc:
         return enc, CERTAIN
     enc = from_prescan(data, prescan_bytes)

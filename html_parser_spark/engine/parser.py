@@ -102,6 +102,30 @@ def parse(data: bytes | str, transport_charset: str | None = None,
     raise AssertionError("unreachable: at most one encoding restart")
 
 
+def parse_into(data: bytes | str, document: Document,
+               transport_charset: str | None = None,
+               fallback: str = "windows-1252", scripting: bool = False,
+               prescan_bytes: int = 1024, pi: bool = False,
+               track_positions: bool = False) -> Output:
+    """Parse into a caller-supplied (empty) Document — the reference's
+    ``Parser::parseInto`` (/root/reference/lib/Parser.php:81-83).
+    The target must be empty (reference NON_EMPTY_DOCUMENT rule);
+    children, doctype and quirks mode are established on it and the
+    returned Output's ``document`` IS the supplied object."""
+    if document.children:
+        raise ValueError("parse_into target document must be empty")
+    out = parse(data, transport_charset, fallback, scripting,
+                prescan_bytes, pi, track_positions)
+    src = out.document
+    for child in list(src.children):
+        src.remove(child)
+        document.append(child)
+    document.doctype = src.doctype
+    document.quirks_mode = src.quirks_mode
+    out.document = document
+    return out
+
+
 def parse_fragment(data: bytes | str, context: str | Element,
                    quirks_mode: int = NO_QUIRKS, encoding: str | None = None,
                    scripting: bool = False,

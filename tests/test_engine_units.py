@@ -347,3 +347,35 @@ class TestDOMParser:
             DOMParser().parse_from_string(b"x", "text/plain")
         with pytest.raises(ValueError):
             DOMParser().parse_from_string(b"x", "nonsense")
+
+
+class TestParseInto:
+    """Parser::parseInto parity (Parser.php:81; TestParser.php rows):
+    parse into a supplied empty Document; Content-Type strings accepted
+    as the transport encoding."""
+
+    def test_parse_into_supplied_document(self):
+        from html_parser_spark.engine import parse_into
+        from html_parser_spark.engine.dom import Document
+        d = Document()
+        out = parse_into("Olé".encode(), d,
+                         transport_charset="text/html; charset=utf8")
+        assert out.document is d
+        assert out.encoding == "utf-8"
+        assert text_content(d) == "Olé"
+        assert d.children and d.children[0].name == "html"
+
+    def test_parse_into_rejects_non_empty(self):
+        from html_parser_spark.engine import parse_into
+        from html_parser_spark.engine.dom import Document
+        d = Document()
+        parse_into(b"<p>x", d)
+        with pytest.raises(ValueError):
+            parse_into(b"<p>y", d)
+
+    def test_content_type_without_charset_ignored(self):
+        from html_parser_spark.engine import parse_into
+        from html_parser_spark.engine.dom import Document
+        out = parse_into(b"<p>x", Document(),
+                         transport_charset="text/html")
+        assert out.encoding == "windows-1252"  # fell through the ladder
