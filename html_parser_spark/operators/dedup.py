@@ -121,7 +121,8 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def minhash_band_pairs(docs: DataFrame, n: int = 3,
-                       persist_signatures: bool = True) -> DataFrame:
+                       persist_signatures: bool = True,
+                       max_band_freq: int | None = None) -> DataFrame:
     """LSH candidate pairs: same (band, band_key) for any of the 8
     bands of 2 rows; returns (doc_a, doc_b, n_matching_sigs).
 
@@ -130,7 +131,15 @@ def minhash_band_pairs(docs: DataFrame, n: int = 3,
     recomputes the md5-shingle aggregation for each reference, tripling
     the dominant cost. ``persist_signatures`` caches it
     (MEMORY_AND_DISK — 17 small columns per doc; at 10^12 docs you'd
-    write it to a table instead and share it across dedup runs)."""
+    write it to a table instead and share it across dedup runs).
+
+    ``max_band_freq`` is the hot-bucket skew control for the 10^12-doc
+    plan: a band bucket shared by more than that many documents (e.g.
+    the all-boilerplate signature) would contribute O(bucket²) join
+    rows; such buckets are counted in one cheap aggregation and dropped
+    from the index before the self-join, bounding any join key's
+    fan-out (same rationale as ``jaccard_pairs``' ``max_doc_freq``).
+    Exact duplicates below the cap are unaffected."""
     sigs = minhash_signatures(docs, n)
     if persist_signatures:
         sigs = sigs.persist()
@@ -142,6 +151,12 @@ def minhash_band_pairs(docs: DataFrame, n: int = 3,
     keyed = (sigs.select("doc_id", F.explode(bands).alias("bk"))
              .select("doc_id", F.col("bk.band").alias("band"),
                      F.col("bk.band_key").alias("band_key")))
+    if max_band_freq is not None:
+        keep = (keyed.groupBy("band", "band_key")
+                .agg(F.count("*").alias("bf"))
+                .filter(F.col("bf") <= max_band_freq)
+                .select("band", "band_key"))
+        keyed = keyed.join(keep, ["band", "band_key"])
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.band_key") == F.col("b.band_key"))

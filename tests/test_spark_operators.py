@@ -283,3 +283,24 @@ def test_embedding_near_dup_catches_exact_copies_no_cartesian(spark):
     got = {(r["id_a"], r["id_b"]): r["cosine_r4"] for r in pairs.collect()}
     for i in range(10):
         assert got.get((i, i + 100_000)) == 1.0
+
+
+def test_minhash_hot_band_cap(spark):
+    """max_band_freq drops super-hot LSH buckets (the O(bucket^2) skew
+    control) while exact-dup pairs below the cap survive."""
+    from html_parser_spark.operators import dedup
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text").filter(F.col("doc_id") < 60)
+    # 30 copies of one doc -> a hot bucket; 2 copies of another -> cool
+    hot = docs.filter(F.col("doc_id") == 0).crossJoin(
+        spark.range(30).select((F.col("id") + 1000).alias("k"))) \
+        .select((F.col("doc_id") * 0 + 100_000 + F.col("k")).alias("doc_id"),
+                "text")
+    cool = docs.filter(F.col("doc_id") == 1) \
+        .select((F.col("doc_id") + 200_000).alias("doc_id"), "text")
+    both = docs.unionByName(hot).unionByName(cool)
+    capped = dedup.minhash_band_pairs(both, max_band_freq=10).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in capped}
+    assert (1, 200_001) in pairs          # cool dup found
+    assert not any(a >= 100_000 and b >= 100_000 for a, b in pairs), \
+        "hot-bucket pairs should have been dropped"
