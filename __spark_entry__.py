@@ -621,6 +621,23 @@ def _q_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_docs(spark, sf_dir))
 
 
+def _q_fingerprint_winnow(spark, sf_dir):
+    return textstats.winnow_fingerprints(_docs(spark, sf_dir))
+
+
+_WINNOW_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(length(text) - 7, 0)),
+                        i -> {duckdb_base_hash('substring(text, i, 8)')}) AS hs
+  FROM documents)
+SELECT DISTINCT doc_id,
+       unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(hs) - 3, 0)),
+           j -> list_min(hs[j:j+3])))) AS fp
+FROM h WHERE len(hs) >= 4"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text": _q_extract_text,
@@ -651,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
+        "fingerprint_winnow": _q_fingerprint_winnow,
     }
 
 
@@ -790,4 +808,5 @@ FROM w""",
         "fingerprint": """
 SELECT doc_id, md5(regexp_replace(trim(text), ' +', ' ', 'g')) AS fp
 FROM documents""",
+        "fingerprint_winnow": _WINNOW_SQL,
     }

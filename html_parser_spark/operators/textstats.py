@@ -57,3 +57,32 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     norm = F.regexp_replace(F.trim(F.col("text")), " +", " ")
     return docs.select("doc_id",
                        F.md5(norm.cast("binary")).alias("fp"))
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 4
+                        ) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    the MOSS partial-duplicate detector): hash every k-char gram, then
+    keep the minimum hash of each window of ``w`` consecutive grams.
+    Any shared substring of length ≥ k+w-1 between two documents is
+    guaranteed to share a fingerprint, at ~2/(w+1) the density of the
+    full gram set.
+
+    Pure Catalyst higher-order functions over the text column (one
+    pass, no shuffle until the caller aggregates); hashes are the
+    md5-derived 60-bit ints from ``functions.hashing`` so the DuckDB
+    oracle reproduces them bit-for-bit. Returns distinct
+    (doc_id, fp) rows."""
+    from ..functions.hashing import spark_base_hash
+    # SQL-text lambdas (the gram position variable lives in SQL scope)
+    hashes = F.expr(
+        f"transform(sequence(1, greatest(length(text) - {k - 1}, 0)), "
+        f"i -> {spark_base_hash(f'substring(text, i, {k})')})")
+    fps = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length(text) "
+        f"- {k + w - 2}, 0)), j -> array_min(slice(hs, j, {w}))))")
+    return (docs
+            .withColumn("hs", hashes)
+            .filter(F.size("hs") >= w)
+            .select("doc_id", F.explode(fps).alias("fp"))
+            .distinct())

@@ -304,3 +304,21 @@ def test_minhash_hot_band_cap(spark):
     assert (1, 200_001) in pairs          # cool dup found
     assert not any(a >= 100_000 and b >= 100_000 for a, b in pairs), \
         "hot-bucket pairs should have been dropped"
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """Winnowing's core guarantee: documents sharing a substring of
+    length >= k+w-1 share at least one fingerprint."""
+    from html_parser_spark.operators import textstats
+    shared = "the quick brown fox jumps over it"  # 33 chars >= 11
+    df = spark.createDataFrame(
+        [(1, "AAAA " + shared + " BBBB"),
+         (2, "cccc dddd " + shared + " eeee"),
+         (3, "totally unrelated content here xyzzy")],
+        "doc_id long, text string")
+    fps = textstats.winnow_fingerprints(df).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared substring must share a print"
+    assert not (by_doc[1] & by_doc[2] & by_doc[3])
