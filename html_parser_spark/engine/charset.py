@@ -17,6 +17,7 @@ Arrow-batched pandas UDFs on Spark, one call per document.
 from __future__ import annotations
 
 import codecs
+import re
 
 # ---------------------------------------------------------------------------
 # WHATWG encoding labels -> canonical encoding name
@@ -200,6 +201,7 @@ def from_meta_content(content: str) -> str | None:
 
 _B_WS = b"\t\n\x0c\r "
 _B_WS_SLASH = b"\t\n\x0c\r /"
+_B_TAGEND_RE = re.compile(rb"[\t\n\x0c\r >]")
 
 
 def _prescan_get_attribute(data: bytes, pos: int) -> tuple[str | None, str, int]:
@@ -376,10 +378,14 @@ def _prescan_meta(data: bytes, scan_bytes: int) -> str | None:
             else:
                 tag_start = pos + 1
             if first.isalpha():
-                p = tag_start
-                while p < n and data[p:p + 1] not in (b"\t", b"\n", b"\x0c", b"\r", b" ", b">"):
-                    p += 1
-                pos = p
+                # C-level scan to the end of the tag name (was a
+                # per-byte slice loop — the dominant prescan cost on
+                # tag-dense no-meta documents)
+                m = _B_TAGEND_RE.search(data, tag_start)
+                pos = m.start() if m is not None else n
+                if data[pos:pos + 1] == b">":  # attributeless fast path
+                    pos += 1
+                    continue
                 while True:
                     name, _value, pos = _prescan_get_attribute(data, pos)
                     if name is None:
@@ -393,7 +399,14 @@ def _prescan_meta(data: bytes, scan_bytes: int) -> str | None:
                     return None
                 pos = end + 1
                 continue
-        pos += 1
+        # any other byte: skip straight to the next '<' (C-level find
+        # instead of a per-byte Python step — the prescan runs over up
+        # to 1024 bytes for EVERY no-meta document, so this loop was a
+        # measurable slice of the per-doc sniff cost)
+        nxt = data.find(b"<", pos + 1)
+        if nxt == -1:
+            break
+        pos = nxt
     return None
 
 
