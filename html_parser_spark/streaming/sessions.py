@@ -53,10 +53,20 @@ def batch_sessions(pages: DataFrame, gap_s: int = 3600) -> DataFrame:
                     "start_ts", "end_ts"))
 
 
-def _session_fn(gap_s: int):
+def _session_fn(gap_s: int, close_stale_after_s: int | None = None):
     def fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
            state) -> Iterator[pd.DataFrame]:
         source = key[0]
+        cols = ["source", "session_id", "n_docs", "start_ts", "end_ts"]
+        if close_stale_after_s is not None and state.hasTimedOut:
+            # event-time expiry: the watermark passed the open
+            # session's end + grace — emit and clear the state
+            start, end, n, sid = state.get
+            state.remove()
+            if start is not None:
+                yield pd.DataFrame([(source, sid, n, start, end)],
+                                   columns=cols)
+            return
         ts_all = []
         for pdf in pdfs:
             ts_all.extend(int(t) for t in pdf["ts"])
@@ -79,27 +89,42 @@ def _session_fn(gap_s: int):
                 sid += 1
                 start, end, n = t, t, 1
         state.update((start, end, n, sid))
+        if close_stale_after_s is not None and end is not None:
+            state.setTimeoutTimestamp((end + close_stale_after_s) * 1000)
         if out:
-            yield pd.DataFrame(out, columns=["source", "session_id",
-                                             "n_docs", "start_ts",
-                                             "end_ts"])
+            yield pd.DataFrame(out, columns=cols)
 
     return fn
 
 
 def stream_sessions(spark, source_dir: str, output_dir: str,
                     checkpoint_dir: str, schema: str,
-                    gap_s: int = 3600, available_now: bool = True):
+                    gap_s: int = 3600, available_now: bool = True,
+                    close_stale_after_s: int | None = None,
+                    watermark_delay: str = "1 hour"):
     """File-source streaming sessionization: one open session per
-    source in group state; closed sessions emitted incrementally."""
+    source in group state; closed sessions emitted incrementally.
+
+    ``close_stale_after_s`` enables event-time state expiry: a
+    watermark (``watermark_delay`` behind max event time) drives
+    GroupStateTimeout.EventTimeTimeout, so an open session whose end
+    plus the grace period falls behind the watermark is emitted and
+    its state cleared — state stays bounded even for sources that
+    simply stop crawling."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     src = (spark.readStream.schema(schema).parquet(source_dir)
-           .select("source", F.col("warc_ts").cast("long").alias("ts")))
+           .select("source", "warc_ts",
+                   F.col("warc_ts").cast("long").alias("ts")))
+    if close_stale_after_s is not None:
+        src = src.withWatermark("warc_ts", watermark_delay)
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        timeout = GroupStateTimeout.NoTimeout
     out = (src.groupBy("source")
            .applyInPandasWithState(
-               _session_fn(gap_s), SESSION_SCHEMA, _STATE_SCHEMA,
-               "append", GroupStateTimeout.NoTimeout))
+               _session_fn(gap_s, close_stale_after_s),
+               SESSION_SCHEMA, _STATE_SCHEMA, "append", timeout))
     writer = (out.writeStream
               .format("parquet")
               .option("path", output_dir)

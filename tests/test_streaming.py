@@ -157,3 +157,64 @@ def test_stateful_sessionization_stream_equals_batch(spark):
             f"missing={sorted(batch - open_tails - emitted)[:3]}")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_sessionization_event_time_timeout(spark):
+    """Event-time state expiry: a sentinel drop far in the future
+    advances the watermark past every open session's grace period, so
+    ALL sessions of the real data get emitted — only the sentinel's
+    own session stays open in state."""
+    from html_parser_spark.sources.pages import pages_df, PAGES_SCHEMA
+    from html_parser_spark.streaming.sessions import (batch_sessions,
+                                                      stream_sessions)
+
+    gap = 604_800
+    tmp = tempfile.mkdtemp(prefix="hps_sesst_")
+    try:
+        pages = pages_df(spark, SF_DIR).withColumn(
+            "source",
+            F.regexp_extract("url", r"example\.org/([^/]+)/", 1)).cache()
+        batch = {(r["source"], r["session_id"], r["n_docs"],
+                  r["start_ts"], r["end_ts"])
+                 for r in batch_sessions(pages, gap_s=gap).collect()}
+
+        schema = PAGES_SCHEMA + ", source string"
+        kw = dict(gap_s=gap, close_stale_after_s=gap,
+                  watermark_delay="1 hour")
+        pages.repartition(4).write.parquet(f"{tmp}/src")
+        q = stream_sessions(spark, f"{tmp}/src", f"{tmp}/out",
+                            f"{tmp}/ckpt", schema, **kw)
+        q.awaitTermination(120)
+        # sentinel: one far-future row per source pushes the watermark
+        # beyond every real session's end + grace
+        sentinel = (pages.groupBy("source")
+                    .agg(F.max("warc_ts").alias("m"))
+                    .select("source",
+                            (F.col("m") + F.expr("INTERVAL 1000 DAYS"))
+                            .alias("warc_ts"))
+                    .withColumn("url", F.lit("sentinel"))
+                    .withColumn("html", F.lit(b""))
+                    .withColumn("text", F.lit(""))
+                    .withColumn("lang", F.lit("en"))
+                    .select("url", "warc_ts", "html", "text", "lang",
+                            "source"))
+        sentinel.write.mode("append").parquet(f"{tmp}/src")
+        q = stream_sessions(spark, f"{tmp}/src", f"{tmp}/out",
+                            f"{tmp}/ckpt", schema, **kw)
+        q.awaitTermination(120)
+        # one more empty-ish trigger so timeouts registered in the
+        # previous batch fire against the advanced watermark
+        sentinel.withColumn(
+            "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAY")) \
+            .write.mode("append").parquet(f"{tmp}/src")
+        q = stream_sessions(spark, f"{tmp}/src", f"{tmp}/out",
+                            f"{tmp}/ckpt", schema, **kw)
+        q.awaitTermination(120)
+
+        emitted = {(r["source"], r["session_id"], r["n_docs"],
+                    r["start_ts"], r["end_ts"])
+                   for r in spark.read.parquet(f"{tmp}/out").collect()}
+        assert batch <= emitted, \
+            f"missing after timeout: {sorted(batch - emitted)[:3]}"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
