@@ -383,6 +383,10 @@ def _q_dedup_simhash(spark, sf_dir):
 
 
 def _q_dedup_simhash_pairs(spark, sf_dir):
+    # radius 12 is a deliberately dense correctness stress (13 bands of
+    # 3-4 bits -> wide candidate set, 4.1M verified pairs at sf0.1);
+    # the production near-dup radius is the default max_hamming=3,
+    # whose 12-bit bands keep candidates sparse
     return (dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=12)
             .select("doc_a", "doc_b",
                     F.col("hamming").cast("long").alias("hamming")))

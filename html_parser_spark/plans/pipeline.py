@@ -184,6 +184,7 @@ def run_report(out: DataFrame) -> dict:
     All JVM-side: one partial-aggregated shuffle over tiny data."""
     per_part = (out.groupBy("part_id")
                 .agg(F.count("*").alias("docs"),
+                     F.approx_count_distinct("url").alias("approx_urls"),
                      F.sum("html_bytes").alias("bytes"),
                      F.sum("n_errors").alias("errors"),
                      F.sum("n_tokens").alias("tokens"),
@@ -197,6 +198,7 @@ def run_report(out: DataFrame) -> dict:
         "tokens": int(sum(r["tokens"] or 0 for r in per_part)),
         "elements": int(sum(r["elements"] or 0 for r in per_part)),
         "truncated": int(sum(r["truncated"] or 0 for r in per_part)),
+        "approx_unique_urls": int(sum(r["approx_urls"] for r in per_part)),
         "partitions": len(per_part),
     }
     total["per_partition"] = {int(r["part_id"]): int(r["docs"])
