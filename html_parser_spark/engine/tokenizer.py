@@ -213,7 +213,10 @@ class Tokenizer:
             probe_at = self.pos + (1 if hexmode else 0)
             m = (_HEX_RUN if hexmode else _DEC_RUN).match(s, probe_at)
             if m is None:
-                self.error("absence-of-digits-in-numeric-character-reference")
+                # points where the first digit was expected (the
+                # decimal/hex charref start state's current char)
+                self.error("absence-of-digits-in-numeric-character-reference",
+                           at=probe_at)
                 self.pos = save + (2 if hexmode else 1)
                 return "&" + s[save:self.pos]
             self.pos = save
