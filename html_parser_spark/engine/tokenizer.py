@@ -470,7 +470,9 @@ class Tokenizer:
                 if pos + 1 >= n:
                     self.error("eof-in-tag")
                     return None
-                self.error("unexpected-solidus-in-tag")
+                # self-closing-start-tag state errors on its current
+                # char: the one after the '/'
+                self.error("unexpected-solidus-in-tag", at=pos + 1)
                 self.pos = pos + 1
                 continue
             if c == ">":
@@ -1014,7 +1016,7 @@ class Tokenizer:
                     self.error("end-tag-with-trailing-solidus", at=pos + 1)
                     self.pos = pos + 2
                     return (END, name)
-                self.error("unexpected-solidus-in-tag")
+                self.error("unexpected-solidus-in-tag", at=pos + 1)
                 self.pos = pos + 1
                 continue
             if c == ">":
