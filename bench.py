@@ -77,10 +77,11 @@ def main() -> None:
                             with_spans=False))
 
         # ---- headline: full extraction job (scan→repartition→parse→write),
-        # best of 2 (this box shows up to 4× run-to-run noise from
-        # co-tenant CPU steal; min is the job's actual capability)
+        # best of 3 (this box shows up to 4× run-to-run noise from
+        # co-tenant CPU steal — observed same-code spread 5.6s..36s;
+        # min is the job's actual capability)
         walls = []
-        for i in range(2):
+        for i in range(3):
             t0 = time.monotonic()
             extract_pages(skew_isolate(pages, cpus * 2), with_spans=False) \
                 .write.mode("overwrite").parquet(f"{tmp}/out")
