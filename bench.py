@@ -115,6 +115,11 @@ def main() -> None:
         from html_parser_spark.operators.dedup import jaccard_pairs
         queries["dedup_jaccard_1k"] = time_query(
             lambda *_: jaccard_pairs(docs1k), None)
+        # the production plan caps boilerplate-shingle fan-out; timing
+        # both shows what the skew control buys
+        queries["dedup_jaccard_1k_capped"] = time_query(
+            lambda *_: jaccard_pairs(docs1k, max_doc_freq=20), None,
+            reps=2)
 
         out = {
             "metric": "extract_wall_sec",
