@@ -15,9 +15,10 @@ in this sandbox we synthesise it **deterministically** (pure function of
 The generated corpus deliberately exercises the parser surface the
 reference covers (/root/reference/lib/Parser.php:49-142):
 
-- the charset-sniff ladder (BOM / ``<meta charset>`` prescan / transport
-  absent / windows-1252 fallback / late-meta relabel) via 8 encoding
-  variants keyed on ``doc_id % 8``;
+- the charset-sniff ladder (BOM / ``<meta charset>`` prescan /
+  XML-declaration fallback / late-meta relabel / CJK multibyte decode)
+  via 10 encoding variants keyed on ``doc_id % 10`` (see
+  ``_ENC_VARIANTS``);
 - quirks-mode determination (missing doctype every 11th doc);
 - character references (escaped text + a literal ``&amp;`` in the footer);
 - formatting elements incl. a *misnested* ``<b>…<i>…</b>…</i>`` variant
