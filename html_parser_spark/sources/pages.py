@@ -44,9 +44,9 @@ PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                 "text string, lang string")
 
 # encoding variants keyed on doc_id % 10: (label-for-meta, python-codec,
-# bom, has_meta).  All generated text is ASCII-or-cp1252-safe and every
-# chosen codec is ASCII-compatible for it, so every variant decodes to
-# identical code points; what differs is which rung of the sniff ladder
+# bom, has_meta).  Variants 8/9 additionally carry real multibyte CJK
+# payloads (CJK_TEXT below); the rest are ASCII-or-cp1252-safe, so what
+# differs per variant is which rung of the sniff ladder
 # (parity /root/reference/lib/Parser/Data.php:59-95) fires and which
 # canonical encoding name the parse reports.
 _ENC_VARIANTS = [
@@ -58,8 +58,8 @@ _ENC_VARIANTS = [
     ("iso-8859-1", "cp1252", b"", True),      # 5: label alias → windows-1252
     ("late", "utf-8", b"", False),            # 6: meta AFTER 1024B → relabel
     (None, "utf-16-be", b"\xfe\xff", False),  # 7: UTF-16BE BOM
-    ("shift_jis", "shift_jis", b"", True),    # 8: CJK label (ASCII payload)
-    ("euc-kr", "euc_kr", b"", True),          # 9: CJK label (ASCII payload)
+    ("shift_jis", "shift_jis", b"", True),    # 8: CJK, multibyte payload
+    ("euc-kr", "euc_kr", b"", True),          # 9: CJK, multibyte payload
 ]
 
 # what Charset.sniff + parse will *report* per variant (oracle mirror).
