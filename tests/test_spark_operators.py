@@ -322,3 +322,23 @@ def test_winnow_guarantee_shared_substring(spark):
         by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
     assert by_doc[1] & by_doc[2], "shared substring must share a print"
     assert not (by_doc[1] & by_doc[2] & by_doc[3])
+
+
+def test_run_extraction_full_plan_and_none_plan(spark, pages):
+    """The url-co-location plan (full salted repartition) and the
+    trust-scan-splits plan must produce byte-identical outputs to the
+    default isolate plan."""
+    from html_parser_spark.plans.pipeline import run_extraction
+    tmp = tempfile.mkdtemp(prefix="hps_plans_")
+    try:
+        golden = pages.select("url", F.col("text").alias("g"))
+        for plan in ("full", "none"):
+            r = run_extraction(spark, pages, f"{tmp}/{plan}",
+                               num_partitions=4, with_spans=False,
+                               plan=plan)
+            assert r["docs"] == 500
+            out = spark.read.parquet(f"{tmp}/{plan}")
+            j = out.join(golden, "url")
+            assert j.filter(F.col("text") != F.col("g")).count() == 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
