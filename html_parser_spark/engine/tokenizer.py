@@ -935,10 +935,11 @@ class Tokenizer:
                 buf.append(m.group())
                 pos = m.end()
             if pos >= n:
+                # flush and fall back to the outer loop, which emits
+                # the single (EOF,) for every state
                 self.pos = pos
                 if buf:
                     yield (CHARS, "".join(buf))
-                yield (EOF,)
                 return
             c = s[pos]
             if c == "\x00":
@@ -1044,10 +1045,11 @@ class Tokenizer:
                 buf.append(m.group())
                 pos = m.end()
             if pos >= n:
+                # flush and fall back to the outer loop, which emits
+                # the single (EOF,) for every state
                 self.pos = pos
                 if buf:
                     yield (CHARS, "".join(buf))
-                yield (EOF,)
                 return
             c = s[pos]
             if c == "\x00":
@@ -1096,8 +1098,7 @@ class Tokenizer:
                 self.pos = pos
                 if buf:
                     yield (CHARS, "".join(buf))
-                yield (EOF,)
-                return pos, True
+                return pos, True  # outer loop emits the single (EOF,)
             c = s[pos]
             if c == "-":
                 buf.append("-")
