@@ -622,7 +622,9 @@ class Tokenizer:
                 self.pos = pos + 7
                 yield from self._cdata_section()
                 return None
-            self.error("cdata-in-html-content")
+            # position: one past the consumed '[CDATA[' (the state's
+            # current char at decision time)
+            self.error("cdata-in-html-content", at=pos + 7)
             self.pos = pos
             return self._bogus_comment("")
         self.error("incorrectly-opened-comment")
@@ -805,7 +807,8 @@ class Tokenizer:
             pos += 6
             _pub, system, quirks, pos = self._doctype_ids(pos, public_first=False)
         else:
-            self.error("invalid-character-sequence-after-doctype-name")
+            self.error("invalid-character-sequence-after-doctype-name",
+                       at=pos)
             quirks = True
             end = s.find(">", pos)
             pos = n if end == -1 else end + 1
@@ -885,7 +888,8 @@ class Tokenizer:
                 return public, system, True, n
             if s[p] == ">":
                 return public, system, False, p + 1
-            self.error("unexpected-character-after-doctype-system-identifier")
+            self.error(
+                "unexpected-character-after-doctype-system-identifier", at=p)
             gt = s.find(">", p)
             return public, system, False, (n if gt == -1 else gt + 1)
         # after public id: optional system id
@@ -910,7 +914,8 @@ class Tokenizer:
                 return public, system, True, n
             if s[p3] == ">":
                 return public, system, False, p3 + 1
-            self.error("unexpected-character-after-doctype-system-identifier")
+            self.error(
+                "unexpected-character-after-doctype-system-identifier", at=p3)
             gt = s.find(">", p3)
             return public, system, False, (n if gt == -1 else gt + 1)
         self.error("missing-quote-before-doctype-system-identifier", at=p2)
