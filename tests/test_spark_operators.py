@@ -342,3 +342,15 @@ def test_run_extraction_full_plan_and_none_plan(spark, pages):
             assert j.filter(F.col("text") != F.col("g")).count() == 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_skew_isolate_shuffles_only_giants(spark, pages):
+    """PLANS.md §1 claim pinned: the default plan's normal branch rides
+    its scan splits (no Exchange); only the giant branch shuffles."""
+    from html_parser_spark.operators.extract import extract_pages
+    from html_parser_spark.plans.pipeline import skew_isolate
+    out = extract_pages(skew_isolate(pages, 4, big_doc_bytes=10_000),
+                        with_spans=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Cartesian" not in plan
