@@ -372,8 +372,10 @@ class Tokenizer:
                 self.state = DATA
             elif state == PLAINTEXT:
                 text = s[pos:].replace("\x00", "�")
+                off = pos - 1
                 for _ in range(s.count("\x00", pos)):
-                    self.error("unexpected-null-character")
+                    off = s.index("\x00", off + 1)
+                    self.error("unexpected-null-character", at=off)
                 self.pos = n
                 if text:
                     yield (CHARS, text)
@@ -948,7 +950,7 @@ class Tokenizer:
                 return
             c = s[pos]
             if c == "\x00":
-                self.error("unexpected-null-character")
+                self.error("unexpected-null-character", at=pos)
                 buf.append("�")
                 pos += 1
                 continue
@@ -1058,7 +1060,7 @@ class Tokenizer:
                 return
             c = s[pos]
             if c == "\x00":
-                self.error("unexpected-null-character")
+                self.error("unexpected-null-character", at=pos)
                 buf.append("�")
                 pos += 1
                 continue
@@ -1115,7 +1117,7 @@ class Tokenizer:
                 pos += 1
                 return pos, False  # back to plain script data
             if c == "\x00":
-                self.error("unexpected-null-character")
+                self.error("unexpected-null-character", at=pos)
                 buf.append("�")
                 pos += 1
                 dashes = 0
