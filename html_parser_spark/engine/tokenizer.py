@@ -511,6 +511,7 @@ class Tokenizer:
             m = _ATTRNAME_RUN.match(s, pos)
             name = m.group()
             self.pos = m.end()
+        name_end = self.pos  # duplicate-attribute points here
         name = _lower(name)
         if "\x00" in name:
             self.error("unexpected-null-character")
@@ -528,7 +529,7 @@ class Tokenizer:
         c = s[pos]
         if c != "=":
             # no value ('/', '>', or the start of the next attribute name)
-            self._store_attr(attrs, name, "")
+            self._store_attr(attrs, name, "", name_end)
             return True
         # before attribute value
         pos += 1
@@ -571,7 +572,7 @@ class Tokenizer:
         else:
             if c == ">":
                 self.error("missing-attribute-value")
-                self._store_attr(attrs, name, "")
+                self._store_attr(attrs, name, "", name_end)
                 return True
             while True:
                 m = _ATTRVAL_UQ.match(s, pos)
@@ -596,13 +597,16 @@ class Tokenizer:
                     parts.append("�")
                     pos += 1
             self.pos = pos
-        self._store_attr(attrs, name, "".join(parts))
+        self._store_attr(attrs, name, "".join(parts), name_end)
         return True
 
-    def _store_attr(self, attrs: dict[str, str], name: str, value: str) -> None:
-        # duplicate attributes: first wins (parity: Tokenizer.php:228-243)
+    def _store_attr(self, attrs: dict[str, str], name: str, value: str,
+                    name_end: int | None = None) -> None:
+        # duplicate attributes: first wins (parity: Tokenizer.php:228-243);
+        # the error points at the end of the duplicate's name (where the
+        # attribute-name state completes and the dup is detectable)
         if name in attrs:
-            self.error("duplicate-attribute")
+            self.error("duplicate-attribute", at=name_end)
         else:
             attrs[name] = value
 
