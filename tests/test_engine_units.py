@@ -379,3 +379,16 @@ class TestParseInto:
         out = parse_into(b"<p>x", Document(),
                          transport_charset="text/html")
         assert out.encoding == "windows-1252"  # fell through the ladder
+
+
+def test_single_eof_token_every_state():
+    """Exactly one (EOF,) from every externally settable tokenizer
+    state (regression: the rcdata/rawtext/script sub-generators once
+    double-emitted it)."""
+    from html_parser_spark.engine import tokenizer as tz
+    for state in (tz.DATA, tz.RCDATA, tz.RAWTEXT, tz.SCRIPT_DATA,
+                  tz.PLAINTEXT, tz.CDATA_SECTION):
+        for text in ("", "ab", "<!--x", "a<b>c", "a\x00b"):
+            toks = list(tz.Tokenizer(text, initial_state=state).tokenize())
+            assert sum(1 for t in toks if t[0] == tz.EOF) == 1, \
+                (state, text, toks)
