@@ -579,7 +579,12 @@ class Tokenizer:
                 if m is not None:
                     chunk = m.group()
                     if any(ch in chunk for ch in "\"'<=`"):
-                        self.error("unexpected-character-in-unquoted-attribute-value")
+                        # points at the first offending character
+                        bad = min(chunk.index(ch) for ch in "\"'<=`"
+                                  if ch in chunk)
+                        self.error(
+                            "unexpected-character-in-unquoted-attribute-value",
+                            at=pos + bad)
                     parts.append(chunk)
                     pos = m.end()
                 if pos >= n:
