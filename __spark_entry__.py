@@ -538,8 +538,8 @@ g AS (SELECT source, ts,
                   THEN 0 ELSE 1 END AS nf
       FROM t WINDOW w AS (PARTITION BY source ORDER BY ts)),
 s AS (SELECT source, ts,
-             sum(nf) OVER (PARTITION BY source ORDER BY ts
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+             (sum(nf) OVER (PARTITION BY source ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING))::bigint AS session_id
       FROM g)
 SELECT source, session_id, count(*) AS n_docs,
        min(ts) AS start_ts, max(ts) AS end_ts

@@ -1,7 +1,11 @@
 """Local stand-in for the driver's correctness gate: run every
 ``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB at
 the given sf, compare row count + column names + order-insensitive
-values. Usage: python tools/verify_contract.py [sf_dir] [query ...]"""
+values, AND the Arrow result types on both sides (the driver's value
+hash is type-sensitive: a DuckDB HUGEINT window-sum surfacing as
+decimal128 vs Spark's int64 hash-mismatches even when every value is
+identical — exactly the round-2 ``crawl_sessions`` failure mode).
+Usage: python tools/verify_contract.py [sf_dir] [query ...]"""
 
 from __future__ import annotations
 
@@ -20,6 +24,43 @@ def norm(v):
     if isinstance(v, float):
         return round(v, 9)
     return v
+
+
+def arrow_class(t) -> str:
+    """Collapse an Arrow type to the equivalence class the driver's
+    type-sensitive hash distinguishes. int32 vs int64 vs decimal128 are
+    distinct (the repo convention is to cast every int output to bigint
+    on BOTH sides); string/large_string are one class (DuckDB picks
+    either depending on version); timestamps compare by unit only."""
+    import pyarrow as pa
+    if pa.types.is_integer(t):
+        return f"int{t.bit_width}" if pa.types.is_signed_integer(t) \
+            else f"uint{t.bit_width}"
+    if pa.types.is_floating(t):
+        return f"float{t.bit_width}"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_timestamp(t):
+        return f"timestamp[{t.unit}]"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{arrow_class(t.value_type)}>"
+    return str(t)
+
+
+def spark_arrow_classes(sdf) -> dict:
+    """Arrow type class per column of a Spark DataFrame, via the same
+    Spark->Arrow conversion path the driver uses (schema-only: convert
+    an empty slice so no data moves)."""
+    tbl = sdf.limit(0).toArrow()
+    return {f.name: arrow_class(f.type) for f in tbl.schema}
 
 
 def main() -> int:
@@ -49,6 +90,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             cols = sorted(sdf.columns)
+            stypes = spark_arrow_classes(sdf)
             srows = sorted(tuple(norm(r[c]) for c in cols)
                            for r in sdf.collect())
         except Exception as ex:
@@ -60,11 +102,12 @@ def main() -> int:
                   f"[{time.monotonic() - t0:.1f}s]")
             continue
         try:
-            ores = con.execute(oracles[name])
-            ocols = sorted(d[0] for d in ores.description)
-            raw = ores.fetchall()
-            names = [d[0] for d in ores.description]
-            idx = [names.index(c) for c in ocols]
+            otbl = con.execute(oracles[name]).arrow()
+            otypes = {f.name: arrow_class(f.type) for f in otbl.schema}
+            ocols = sorted(otbl.schema.names)
+            raw = [tuple(c[i].as_py() for c in otbl.columns)
+                   for i in range(otbl.num_rows)]
+            idx = [otbl.schema.names.index(c) for c in ocols]
             orows = sorted(tuple(norm(r[i]) for i in idx) for r in raw)
         except Exception as ex:
             print(f"FAIL {name}: duckdb error {ex!r:.300}")
@@ -73,6 +116,10 @@ def main() -> int:
         status = []
         if cols != ocols:
             status.append(f"cols {cols} != {ocols}")
+        tdiff = {c: (stypes.get(c), otypes.get(c)) for c in cols
+                 if c in otypes and stypes.get(c) != otypes.get(c)}
+        if tdiff:
+            status.append(f"arrow types differ (spark, oracle): {tdiff}")
         if len(srows) != len(orows):
             status.append(f"rows {len(srows)} != {len(orows)}")
         if not status and srows != orows:
