@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import codecs
 import re
+import threading
 
 # ---------------------------------------------------------------------------
 # WHATWG encoding labels -> canonical encoding name
@@ -469,13 +470,27 @@ def decode(data: bytes, encoding: str) -> str:
     return text
 
 
+def _counting_replace(ex):
+    """codecs error handler: behaves exactly like 'replace' for decoding
+    (one U+FFFD, resume at ex.end) but bumps a thread-local counter, so
+    decode_count gets the true number of malformed-sequence events —
+    immune to literal U+FFFD bytes in the input and to multi-byte
+    codecs whose replacement pattern could straddle character
+    boundaries (the old byte-substring heuristic miscounted both)."""
+    _DECODE_ERR_TL.n = getattr(_DECODE_ERR_TL, "n", 0) + 1
+    return ("�", ex.end)
+
+
+_DECODE_ERR_TL = threading.local()
+codecs.register_error("hps-counting-replace", _counting_replace)
+
+
 def decode_count(data: bytes, encoding: str) -> tuple[str, int]:
     """``decode`` plus the number of malformed byte sequences replaced
     — one ``encoding-error`` each (reference Data.php error emission).
     Strict decode is the fast path (zero-count, no second pass); on
-    failure the count is U+FFFD occurrences minus any that decode from
-    literal U+FFFD bytes in the input (exact, since the replace handler
-    emits exactly one U+FFFD per malformed sequence)."""
+    failure the count comes from a counting twin of the 'replace'
+    handler (exact per error event, character-boundary-safe)."""
     if encoding in ("replacement", "x-user-defined"):
         # replacement: the single U+FFFD *is* the error; x-user-defined
         # maps every byte somewhere (never malformed)
@@ -496,11 +511,9 @@ def decode_count(data: bytes, encoding: str) -> tuple[str, int]:
         return text, 0
     except UnicodeDecodeError:
         text = decode(data, encoding)
-        try:
-            legit = body.count("�".encode(codec))
-        except UnicodeEncodeError:
-            legit = 0
-        return text, text.count("�") - legit
+        _DECODE_ERR_TL.n = 0
+        body.decode(codec, "hps-counting-replace")
+        return text, _DECODE_ERR_TL.n
 
 
 def encoding_compatible_prefix(data: bytes, old: str, new: str, upto: int) -> bool:

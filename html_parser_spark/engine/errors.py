@@ -106,6 +106,11 @@ TREE_CODES = frozenset({
     "unexpected-frameset-end",
     "eof-in-frameset",
     "eof-in-template",
+    # adoption-agency step failures (spec §13.2.6.4.7 numbered steps;
+    # reachable on e.g. '<b><p></b>' — emitted by treebuilder.py AAA)
+    "adoption-agency-1.2",
+    "adoption-agency-1.3",
+    "adoption-agency-4.4",
 })
 
 ALL_CODES = TOKENIZER_CODES | TREE_CODES

@@ -171,7 +171,13 @@ def run_extraction(spark: SparkSession, pages: DataFrame, output_path: str,
     t0 = time.monotonic()
     result.write.mode("append").parquet(output_path)
     wall = time.monotonic() - t0
-    committed = spark.read.parquet(output_path)
+    # mergeSchema: a resumed output path may hold files written by a
+    # pre-run_id version of this job (no run_id column); plain schema
+    # inference could then pick a file without the column and make the
+    # filter below fail to resolve. Old rows surface run_id=NULL and
+    # are excluded by the equality filter, which is what we want.
+    committed = spark.read.option("mergeSchema", "true") \
+        .parquet(output_path)
     report = run_report(committed.filter(F.col("run_id") == rid))
     report["run_id"] = rid
     report["wall_s"] = round(wall, 3)

@@ -60,9 +60,13 @@ def _session_fn(gap_s: int, close_stale_after_s: int | None = None):
         cols = ["source", "session_id", "n_docs", "start_ts", "end_ts"]
         if close_stale_after_s is not None and state.hasTimedOut:
             # event-time expiry: the watermark passed the open
-            # session's end + grace — emit and clear the state
+            # session's end + grace — emit the session, but keep the
+            # sid counter (an empty placeholder state with no timeout)
+            # so a source that resumes crawling continues the
+            # monotonic per-source ordinal instead of restarting at 0,
+            # matching batch_sessions' unique (source, session_id) keys
             start, end, n, sid = state.get
-            state.remove()
+            state.update((None, None, 0, sid + 1))
             if start is not None:
                 yield pd.DataFrame([(source, sid, n, start, end)],
                                    columns=cols)
@@ -109,8 +113,9 @@ def stream_sessions(spark, source_dir: str, output_dir: str,
     watermark (``watermark_delay`` behind max event time) drives
     GroupStateTimeout.EventTimeTimeout, so an open session whose end
     plus the grace period falls behind the watermark is emitted and
-    its state cleared — state stays bounded even for sources that
-    simply stop crawling."""
+    its state shrunk to a sid-counter placeholder (keeping per-source
+    session ordinals monotonic) — state stays bounded even for sources
+    that simply stop crawling."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     src = (spark.readStream.schema(schema).parquet(source_dir)

@@ -287,8 +287,8 @@ class TestErrorRegistry:
         for mod in (_t, _b):
             src = open(mod.__file__).read()
             lits = _re.findall(
-                r"error\(\s*\n?\s*[\"']([a-z0-9-]+)[\"']", src)
-            lits += _re.findall(r"code = [\"']([a-z0-9-]+)[\"']", src)
+                r"error\(\s*\n?\s*[\"']([a-z0-9.-]+)[\"']", src)
+            lits += _re.findall(r"code = [\"']([a-z0-9.-]+)[\"']", src)
             for c in lits:
                 assert c in ALL_CODES, c
 

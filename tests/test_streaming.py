@@ -218,3 +218,62 @@ def test_sessionization_event_time_timeout(spark):
             f"missing after timeout: {sorted(batch - emitted)[:3]}"
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_sessionization_sid_monotonic_after_expiry(spark):
+    """Regression (round-3 ADVICE): after an event-time timeout emits a
+    source's open session, the sid counter must survive in state — a
+    source that resumes crawling continues its per-source ordinal
+    (0, 1, ...) instead of restarting at 0, so emitted (source,
+    session_id) keys stay unique like batch_sessions'."""
+    import datetime as dt
+
+    from html_parser_spark.sources.pages import PAGES_SCHEMA
+    from html_parser_spark.streaming.sessions import stream_sessions
+
+    def drop(path, src, *ts_vals):
+        rows = [("u", dt.datetime.fromtimestamp(t, dt.timezone.utc),
+                 b"", "", "en", src) for t in ts_vals]
+        spark.createDataFrame(
+            rows, PAGES_SCHEMA + ", source string") \
+            .write.mode("append").parquet(path)
+
+    gap = 100
+    tmp = tempfile.mkdtemp(prefix="hps_sessmono_")
+    kw = dict(gap_s=gap, close_stale_after_s=gap,
+              watermark_delay="0 seconds")
+    schema = PAGES_SCHEMA + ", source string"
+    try:
+        def run():
+            q = stream_sessions(spark, f"{tmp}/src", f"{tmp}/out",
+                                f"{tmp}/ckpt", schema, **kw)
+            q.awaitTermination(120)
+
+        base = 1_000_000_000  # keep fromtimestamp in range everywhere
+        drop(f"{tmp}/src", "a", base, base + 10)      # opens a#0
+        drop(f"{tmp}/src", "b", base)
+        run()
+        # advance the watermark far past a#0's end+grace via b only
+        drop(f"{tmp}/src", "b", base + 10_000_000)
+        run()
+        # this batch starts with watermark >= base+10M: a's timeout
+        # fires (no a data) -> emits a#0, keeps sid counter in state
+        drop(f"{tmp}/src", "b", base + 10_000_050)
+        run()
+        # a resumes: must open session #1, not restart at #0
+        drop(f"{tmp}/src", "a", base + 20_000_000)
+        run()
+        # expire a#1 the same way to observe it
+        drop(f"{tmp}/src", "b", base + 90_000_000)
+        run()
+        drop(f"{tmp}/src", "b", base + 90_000_050)
+        run()
+
+        a_sessions = sorted(
+            (r["session_id"], r["start_ts"], r["n_docs"])
+            for r in spark.read.parquet(f"{tmp}/out")
+            .filter(F.col("source") == "a").collect())
+        assert a_sessions == [(0, base, 2),
+                              (1, base + 20_000_000, 1)], a_sessions
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
