@@ -322,6 +322,28 @@ def _q_extract_transport(spark, sf_dir):
     return out.select("url", "encoding", "text")
 
 
+def _q_extract_failures(spark, sf_dir):
+    """Failure-row path end-to-end (VERDICT r02 item 7): run the
+    extraction with a deliberately small ``max_html_bytes`` cap (64 KiB)
+    so the rep>=2000 giant docs hit the truncation arm
+    (operators/extract.py cap), while ``parse_ok`` pins that the
+    except-arm never fires on real corpus content. The cap separates
+    the buckets with wide margins at every sf — largest rep<=8 doc is
+    ~9 KB, smallest giant ~116 KB (pinned by
+    tests/test_spark_operators.py::test_truncation_cap_margins) — so
+    ``truncated`` is closed-form: doc_id % 97 == 0 or % 997 == 0.
+    Truncation never disturbs the sniff (prescan window is the first
+    1024 bytes; the late-meta variant's relabel fires at ~1.2 KB),
+    so ``encoding`` keeps its full-document oracle."""
+    out = extract_pages(pages_df(spark, sf_dir),
+                        max_html_bytes=64 * 1024, with_spans=False)
+    return out.select(
+        "url", "encoding", "truncated",
+        (F.col("n_errors") >= 0).alias("parse_ok"),
+        F.when(F.col("truncated"), F.col("html_bytes"))
+         .otherwise(F.lit(-1).cast("long")).alias("capped_bytes"))
+
+
 def _q_roundtrip(spark, sf_dir):
     rt = roundtrip_check(pages_df(spark, sf_dir))
     return rt.agg(F.count("*").alias("n_docs"),
@@ -658,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_enc_distribution": _q_extract_enc_distribution,
         "extract_spans": _q_extract_spans,
         "extract_with_transport": _q_extract_transport,
+        "extract_failures": _q_extract_failures,
         "serializer_roundtrip": _q_roundtrip,
         "resume_antijoin": _q_resume_antijoin,
         "dedup_exact": _q_dedup_exact,
@@ -705,6 +728,13 @@ SELECT {URL_SQL} AS url, {N_PARAGRAPHS_SQL} AS n_paragraphs FROM documents""",
 SELECT {URL_SQL} AS url,
        CASE WHEN doc_id % 10 = 4 THEN 'utf-8' ELSE {ENC_SQL} END AS encoding,
        {TEXT_SQL} AS text
+FROM documents""",
+        "extract_failures": f"""
+SELECT {URL_SQL} AS url, {ENC_SQL} AS encoding,
+       (doc_id % 97 = 0 OR doc_id % 997 = 0) AS truncated,
+       true AS parse_ok,
+       (CASE WHEN doc_id % 97 = 0 OR doc_id % 997 = 0
+             THEN 65536 ELSE -1 END)::bigint AS capped_bytes
 FROM documents""",
         "serializer_roundtrip": """
 SELECT count(*) AS n_docs, count(*) AS n_idempotent FROM documents""",

@@ -47,11 +47,18 @@ EXTRACT_SCHEMA = (
 def parse_extract_batch(pdf: pd.DataFrame, part_id: int, batch_seq: int,
                         max_html_bytes: int, max_spans: int,
                         with_spans: bool,
-                        transport_col: str | None = None) -> pd.DataFrame:
+                        transport_col: str | None = None,
+                        preprocess=None) -> pd.DataFrame:
     """Parse+extract one Arrow batch (pure pandas-in/pandas-out).
     ``transport_col`` names an optional per-row Content-Type charset
     column (the crawl's HTTP header) fed into the sniff ladder as the
-    transport layer (Charset::fromTransport semantics)."""
+    transport layer (Charset::fromTransport semantics).
+    ``preprocess`` is an optional ``bytes -> bytes`` hook applied before
+    the cap/parse (e.g. ``zlib.decompress`` for gzip-transfer-encoded
+    crawl payloads); unlike the parse itself — which never raises on any
+    byte input — decompression of corrupt payloads genuinely can, and
+    such rows take the failure arm (``encoding='error', n_errors=-1``)
+    without failing the task."""
     out = {k: [] for k in ("url", "text", "spans", "encoding", "quirks_mode",
                            "n_errors", "n_tokens", "n_elements",
                            "html_bytes", "truncated")}
@@ -60,9 +67,11 @@ def parse_extract_batch(pdf: pd.DataFrame, part_id: int, batch_seq: int,
     for url, html, tc in zip(pdf["url"], pdf["html"], transports):
         raw = bytes(html) if html is not None else b""
         truncated = False
-        if max_html_bytes and len(raw) > max_html_bytes:
-            raw, truncated = raw[:max_html_bytes], True
         try:
+            if preprocess is not None:
+                raw = preprocess(raw)
+            if max_html_bytes and len(raw) > max_html_bytes:
+                raw, truncated = raw[:max_html_bytes], True
             o = parse(raw, transport_charset=tc if tc else None)
             if with_spans:
                 text, spans = extract_text(o.document, max_spans=max_spans)
@@ -93,7 +102,8 @@ def parse_extract_batch(pdf: pd.DataFrame, part_id: int, batch_seq: int,
 
 def extract_pages(pages_df, max_html_bytes: int = 64 * 1024 * 1024,
                   max_spans: int = 10_000, with_spans: bool = True,
-                  transport_col: str | None = None):
+                  transport_col: str | None = None,
+                  preprocess=None):
     """pages(url, html, ...) -> extraction output DataFrame.
 
     Column pruning: selects only (url, html) — plus the optional
@@ -118,7 +128,7 @@ def extract_pages(pages_df, max_html_bytes: int = 64 * 1024 * 1024,
             for seq, pdf in enumerate(batches):
                 yield parse_extract_batch(pdf, part_id, seq, max_html_bytes,
                                           max_spans, with_spans,
-                                          transport_col)
+                                          transport_col, preprocess)
                 gc.collect()
         finally:
             if gc_was_enabled:

@@ -354,3 +354,68 @@ def test_skew_isolate_shuffles_only_giants(spark, pages):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert "Cartesian" not in plan
+
+
+def test_truncation_cap_margins():
+    """Pins the closed-form claim behind the extract_failures oracle:
+    at the 64 KiB cap, every rep<=8 doc fits with >3x headroom and
+    every rep>=2000 giant overflows with >1.5x margin, so
+    truncated <=> doc_id % 97 == 0 or % 997 == 0."""
+    import duckdb
+    from html_parser_spark.sources.pages import build_page, rep_factor
+    rows = duckdb.sql(
+        f"SELECT doc_id, text, lang, source FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    small_max, big_min = 0, 1 << 60
+    for d, t, l, s in rows:
+        n = len(build_page(d, t, l, s)[2])
+        if rep_factor(d) >= 2000:
+            big_min = min(big_min, n)
+        else:
+            small_max = max(small_max, n)
+    assert small_max * 3 < 64 * 1024
+    assert big_min > 64 * 1024 * 1.5
+
+
+def test_extract_failures_truncation_and_failure_isolation(spark, pages):
+    """The two failure arms of operators/extract.py end-to-end through
+    real Spark: (a) over-cap docs come back truncated at exactly the
+    cap with the parse still succeeding on the prefix; (b) a raising
+    preprocess hook (corrupt gzip semantics: zlib.decompress on a
+    payload that isn't compressed) yields the error row for exactly
+    that document without failing the task or disturbing neighbors."""
+    import zlib
+
+    from html_parser_spark.operators.extract import extract_pages
+
+    cap = 64 * 1024
+    out = extract_pages(pages, max_html_bytes=cap, with_spans=False)
+    rows = out.select("url", "truncated", "html_bytes", "n_errors").collect()
+    trunc = [r for r in rows if r["truncated"]]
+    assert len(trunc) > 0
+    assert all(r["html_bytes"] == cap for r in trunc)
+    assert all(r["n_errors"] >= 0 for r in rows)  # parse survived the cut
+
+    # (b) compress every payload; corrupt one document's bytes so only
+    # its decompression raises inside the executor
+    poison = trunc[0]["url"]
+
+    def gz(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["html"] = [
+                bytes(h) if u == poison else zlib.compress(bytes(h))
+                for u, h in zip(pdf["url"], pdf["html"])]
+            yield pdf
+
+    compressed = pages.select("url", "html").mapInPandas(
+        gz, schema="url string, html binary")
+    failed = extract_pages(compressed, with_spans=False,
+                           preprocess=zlib.decompress)
+    res = {r["url"]: r for r in
+           failed.select("url", "encoding", "n_errors").collect()}
+    assert res[poison]["encoding"] == "error"
+    assert res[poison]["n_errors"] == -1
+    ok = [r for u, r in res.items() if u != poison]
+    assert len(ok) == 499
+    assert all(r["n_errors"] >= 0 for r in ok)
