@@ -30,9 +30,11 @@ class Output:
         # tokenizer / tree-builder counters (north-star per-doc metrics)
         self.n_tokens = n_tokens
         self.n_elements = n_elements
-        # debug mode only (track_positions=True): tokenizer-level
-        # (code, line, col) tuples, 1-based, html5lib/reference format
-        # (ParseErrorEmitter.php:62-69); None on the production path
+        # debug mode only (track_positions=True): (code, line, col)
+        # tuples, 1-based, html5lib/reference format
+        # (ParseErrorEmitter.php:62-69) — tokenizer errors first, then
+        # tree-construction errors (which point at the last input char
+        # consumed, the reference's whereIs(0)); None in production
         self.error_positions = error_positions
 
 
@@ -42,7 +44,10 @@ def _parse_text(text: str, scripting: bool, meta_hook=None, pi: bool = False,
     tb = TreeBuilder(t, scripting=scripting, meta_encoding_hook=meta_hook,
                      processing_instructions=pi)
     doc = tb.run()
-    positions = t.error_positions() if track_positions else None
+    # error/position ordering matches the errors list: tokenizer first,
+    # then tree-construction (both in emission order)
+    positions = (t.error_positions() + tb.error_positions()
+                 if track_positions else None)
     return doc, t.errors + tb.errors, tb, positions
 
 

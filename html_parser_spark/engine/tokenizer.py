@@ -117,6 +117,23 @@ def _lower(s: str) -> str:
     return v
 
 
+def positions_from_offsets(s: str, codes: list[str],
+                           offsets: list[int]) -> list[tuple[str, int, int]]:
+    """[(code, line, col)] with 1-based line/col from 0-based character
+    offsets, matching the html5lib/reference error format
+    (ParseErrorEmitter.php:62-69). Shared by the tokenizer's and the
+    tree builder's position tracking."""
+    from bisect import bisect_left
+    nls = [i for i, ch in enumerate(s) if ch == "\n"]
+    out = []
+    for code, off in zip(codes, offsets):
+        k = bisect_left(nls, off)
+        line = k + 1
+        col = off - nls[k - 1] if k else off + 1
+        out.append((code, line, col))
+    return out
+
+
 class Tokenizer:
     """Generator-based tokenizer over a decoded, CR-normalized string."""
 
@@ -155,15 +172,7 @@ class Tokenizer:
         """[(code, line, col)] with 1-based line/col, matching the
         html5lib/reference error format (ParseErrorEmitter.php:62-69).
         Only valid when constructed with track_positions=True."""
-        from bisect import bisect_left
-        nls = [i for i, ch in enumerate(self.s) if ch == "\n"]
-        out = []
-        for code, off in zip(self.errors, self.offsets):
-            k = bisect_left(nls, off)
-            line = k + 1
-            col = off - nls[k - 1] if k else off + 1
-            out.append((code, line, col))
-        return out
+        return positions_from_offsets(self.s, self.errors, self.offsets)
 
     # ------------------------------------------------------------------ #
     # character references (WHATWG §13.2.5.72-80, as a subroutine — same

@@ -199,6 +199,7 @@ class TreeBuilder:
         self.original_mode = INITIAL
         self.template_modes: list[int] = []
         self.pending_table_text: list[str] = []
+        self._pending_text_at: int | None = None
         self.ignore_lf = False
         # self-closing-flag acknowledgment (WHATWG §13.2.6.4; reference
         # ParseError.php non-void-html-element-start-tag-with-trailing-
@@ -206,6 +207,11 @@ class TreeBuilder:
         # START-token dispatch in process()
         self.ack_self_closing = False
         self.errors: list[str] = []
+        # debug/conformance mode only (tokenizer track_positions=True):
+        # per-error character offsets, same gating as the tokenizer's
+        self.error_offsets: list[int] | None = (
+            [] if tokenizer is not None and tokenizer.offsets is not None
+            else None)
         self.fragment_context = fragment_context
         self.iframe_srcdoc = False
         self.done = False
@@ -258,8 +264,25 @@ class TreeBuilder:
                 break
             node = node.parent
 
-    def error(self, code: str) -> None:
+    def error(self, code: str, at: int | None = None) -> None:
         self.errors.append(code)
+        if self.error_offsets is not None:
+            # tree errors point at the last input character consumed
+            # when the error fired — the reference's whereIs(0)
+            # convention (ParseErrorEmitter.php:68: the Data pointer,
+            # which sits on the final char of the triggering token).
+            # Sites where the triggering token is no longer current
+            # (the in-table-text pending buffer) pass ``at`` explicitly.
+            if at is None:
+                at = max(self.tokenizer.pos - 1, 0)
+            self.error_offsets.append(at)
+
+    def error_positions(self) -> list[tuple[str, int, int]]:
+        """[(code, line, col)], 1-based, for tree-construction errors.
+        Only valid in the debug/conformance mode (the tokenizer was
+        built with track_positions=True)."""
+        return tz.positions_from_offsets(
+            self.tokenizer.s, self.errors, self.error_offsets)
 
     def _cdata_ok(self) -> bool:
         acn = self.adjusted_current_node()
@@ -1588,6 +1611,7 @@ class TreeBuilder:
         if kind in (CHARS, NULLS) and cur is not None and cur.namespace == HTML_NS \
                 and cur.name in {"table", "tbody", "template", "tfoot", "thead", "tr"}:
             self.pending_table_text = []
+            self._pending_text_at = None
             self.original_mode = self.mode
             self.mode = IN_TABLE_TEXT
             return token
@@ -1683,6 +1707,14 @@ class TreeBuilder:
                 self.error("unexpected-null-character")
                 data = data.replace("\x00", "")
             if data:
+                if (self.error_offsets is not None
+                        and self._pending_text_at is None
+                        and data.strip(_WS)):
+                    # first offending run: remember where it ended so a
+                    # later fostered-char flush can point back at it
+                    # (reference parity: pended characters report back
+                    # into the stream — ParseErrorEmitter.php:30-31)
+                    self._pending_text_at = self.tokenizer.pos - 1
                 self.pending_table_text.append(data)
             return None
         if kind == NULLS:
@@ -1694,7 +1726,7 @@ class TreeBuilder:
         if pending:
             if pending.strip(_WS):
                 # non-ws: reprocess via in-table anything-else (foster)
-                self.error("fostered-char")
+                self.error("fostered-char", at=self._pending_text_at)
                 self.foster = True
                 self.reconstruct_afe()
                 self.insert_text(pending)
