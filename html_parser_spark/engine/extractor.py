@@ -63,30 +63,37 @@ def extract_text(doc: Document, max_spans: int = 10_000,
     offset = 0
     # explicit-stack post-order walk (adversarial crawl documents nest
     # deeper than Python's recursion limit); spans are emitted when a
-    # subtree completes, exactly like the recursive formulation
-    frames: list[list] = [[body, "body", 0, {}]]
+    # subtree completes, exactly like the recursive formulation.
+    # Frames hold child ITERATORS (no index bookkeeping, no closure /
+    # nonlocal-cell access — measurably faster than both the recursive
+    # form and an indexed explicit stack).
+    frames: list[tuple] = [(iter(body.children), "body", {})]
     pending: list[tuple] = []  # (path|None, tag, start) per non-root frame
     while frames:
-        top = frames[-1]
-        el, path, i = top[0], top[1], top[2]
-        children = el.children
-        if i < len(children):
-            top[2] = i + 1
-            child = children[i]
-            if isinstance(child, Text):
+        it, path, counters = frames[-1]
+        descended = False
+        for child in it:
+            t = type(child)
+            if t is Text:
                 parts.append(child.data)
                 offset += len(child.data)
-            elif isinstance(child, Element):
-                if path is None or len(frames) > max_path_depth:
+            elif t is Element:
+                if (path is None or len(frames) > max_path_depth
+                        or len(spans) >= max_spans):
+                    # span list already full: every span emitted from
+                    # here on is dropped post-order anyway, so stop
+                    # paying for path strings (giant docs otherwise
+                    # build tens of thousands of dead paths)
                     child_path = None
                 else:
-                    counters = top[3]
                     idx = counters.get(child.name, 0)
                     counters[child.name] = idx + 1
                     child_path = f"{path}/{child.name}[{idx}]"
                 pending.append((child_path, child.name, offset))
-                frames.append([child, child_path, 0, {}])
-        else:
+                frames.append((iter(child.children), child_path, {}))
+                descended = True
+                break
+        if not descended:
             frames.pop()
             if frames:
                 cp, name, start = pending.pop()

@@ -228,9 +228,10 @@ class TreeBuilder:
         if self.fragment_context is not None:
             self._setup_fragment()
         n = 0
+        process = self.process  # bind once: ~145k lookups per MB saved
         for token in self.tokenizer.tokenize():
             n += 1
-            self.process(token)
+            process(token)
             if self.done:
                 break
         self.n_tokens = n
@@ -641,6 +642,14 @@ class TreeBuilder:
                 self._any_other_end_tag(subject)
                 return
             fmt = fmt_entry.element
+            if fmt is self.current:
+                # properly-nested common case: fmt is the current node,
+                # so it is on the stack, trivially in scope, and nothing
+                # sits above it (no furthest block) — the general steps
+                # below reduce to pop + AFE-remove with no error
+                self.stack.pop()
+                del self.afe[fmt_i]
+                return
             if fmt not in self.stack:
                 self.error("adoption-agency-1.2")
                 del self.afe[fmt_i]
@@ -756,13 +765,13 @@ class TreeBuilder:
             # context override applies → HTML rules, skip foreign checks
             if (stack and stack[-1].namespace == HTML_NS
                     and (self.fragment_context is None or len(stack) > 1)):
-                again = self._process_html(token)
+                again = _MODE_HANDLERS[self.mode](self, token)
             else:
                 acn = self.adjusted_current_node()
                 kind = token[0]
                 if (acn is None or acn.namespace == HTML_NS or kind == EOF
                         or self._foreign_takes_html_rules(acn, token)):
-                    again = self._process_html(token)
+                    again = _MODE_HANDLERS[self.mode](self, token)
                 else:
                     again = self._process_foreign(token)
             if again is None:
