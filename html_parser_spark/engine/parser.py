@@ -16,13 +16,14 @@ from .treebuilder import EncodingChangeRequired, TreeBuilder
 
 class Output:
     __slots__ = ("document", "encoding", "quirks_mode", "errors",
-                 "n_tokens", "n_elements", "error_positions")
+                 "n_tokens", "n_elements", "error_positions",
+                 "n_tokenizer_errors")
 
     def __init__(self, document: Document, encoding: str, quirks_mode: int,
                  errors: list[str], n_tokens: int = 0,
                  n_elements: int = 0,
-                 error_positions: list[tuple[str, int, int]] | None = None
-                 ) -> None:
+                 error_positions: list[tuple[str, int, int]] | None = None,
+                 n_tokenizer_errors: int = 0) -> None:
         self.document = document
         self.encoding = encoding
         self.quirks_mode = quirks_mode
@@ -36,6 +37,9 @@ class Output:
         # tree-construction errors (which point at the last input char
         # consumed, the reference's whereIs(0)); None in production
         self.error_positions = error_positions
+        # split point of error_positions: the first n_tokenizer_errors
+        # tuples are tokenizer-level, the rest tree-construction
+        self.n_tokenizer_errors = n_tokenizer_errors
 
 
 def _parse_text(text: str, scripting: bool, meta_hook=None, pi: bool = False,
@@ -48,7 +52,7 @@ def _parse_text(text: str, scripting: bool, meta_hook=None, pi: bool = False,
     # then tree-construction (both in emission order)
     positions = (t.error_positions() + tb.error_positions()
                  if track_positions else None)
-    return doc, t.errors + tb.errors, tb, positions
+    return doc, t.errors + tb.errors, tb, positions, len(t.errors)
 
 
 def parse(data: bytes | str, transport_charset: str | None = None,
@@ -61,10 +65,10 @@ def parse(data: bytes | str, transport_charset: str | None = None,
     records (line, col) per tokenizer error — gated so the production
     path pays no bookkeeping (reference parity: Data.php:56-57)."""
     if isinstance(data, str):
-        doc, errors, tb, positions = _parse_text(
+        doc, errors, tb, positions, n_tok_err = _parse_text(
             data, scripting, pi=pi, track_positions=track_positions)
         return Output(doc, "utf-8", doc.quirks_mode, errors,
-                      tb.n_tokens, tb.n_elements, positions)
+                      tb.n_tokens, tb.n_elements, positions, n_tok_err)
 
     encoding, certain = charset.sniff(data, transport_charset, fallback, prescan_bytes)
     for _attempt in range(2):
@@ -89,7 +93,7 @@ def parse(data: bytes | str, transport_charset: str | None = None,
             raise EncodingChangeRequired(new_enc)
 
         try:
-            doc, errors, tb, positions = _parse_text(
+            doc, errors, tb, positions, n_tok_err = _parse_text(
                 text, scripting, meta_hook if not certain else None,
                 pi=pi, track_positions=track_positions)
         except EncodingChangeRequired as e:
@@ -103,7 +107,7 @@ def parse(data: bytes | str, transport_charset: str | None = None,
             # (reference Data.php / ParseError.php ENCODING_ERROR)
             errors = ["encoding-error"] * n_decode_errors + errors
         return Output(doc, encoding, doc.quirks_mode, errors,
-                      tb.n_tokens, tb.n_elements, positions)
+                      tb.n_tokens, tb.n_elements, positions, n_tok_err)
     raise AssertionError("unreachable: at most one encoding restart")
 
 

@@ -123,6 +123,8 @@ def positions_from_offsets(s: str, codes: list[str],
     offsets, matching the html5lib/reference error format
     (ParseErrorEmitter.php:62-69). Shared by the tokenizer's and the
     tree builder's position tracking."""
+    if not codes:
+        return []  # skip the O(doc) newline scan for clean documents
     from bisect import bisect_left
     nls = [i for i, ch in enumerate(s) if ch == "\n"]
     out = []

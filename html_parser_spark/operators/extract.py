@@ -163,3 +163,47 @@ def roundtrip_check(pages_df):
 
     return pages_df.select("url", "html").mapInPandas(
         run, schema="url string, idempotent boolean")
+
+
+POSITIONS_SCHEMA = ("url string, tok_code string, tok_line long, "
+                    "tok_col long, tree_code string, tree_line long, "
+                    "tree_col long, n_positions long")
+
+
+def extract_error_positions(pages_df):
+    """Debug-mode error positions at scale: per document, the FIRST
+    tokenizer-level and FIRST tree-construction-level parse error as
+    (code, line, col) — the Spark surface of the engine's opt-in
+    ``track_positions`` mode (reference gating parity: the error
+    handler enables position bookkeeping, Data.php:56-57; tuple format
+    ParseErrorEmitter.php:62-69). Sentinels ('', 0, 0) mean "no error
+    at that level"; ``n_positions`` is the total tracked tuple count
+    (== n_errors when no decode errors occurred).
+
+    This is a diagnostics job you run on a SAMPLE of a crawl (error
+    triage, corpus debugging), not the production extraction path —
+    position bookkeeping costs ~10-15% parse throughput, which is why
+    the production job never enables it.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["url", "tok_code", "tok_line", "tok_col",
+                "tree_code", "tree_line", "tree_col", "n_positions"]
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                raw = bytes(html) if html is not None else b""
+                try:
+                    o = parse(raw, track_positions=True)
+                    pos = o.error_positions
+                    ntk = o.n_tokenizer_errors
+                    tok = pos[0] if ntk else ("", 0, 0)
+                    tree = pos[ntk] if len(pos) > ntk else ("", 0, 0)
+                    rows.append((url, tok[0], tok[1], tok[2],
+                                 tree[0], tree[1], tree[2], len(pos)))
+                except Exception:
+                    rows.append((url, "error", -1, -1, "error", -1, -1, -1))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages_df.select("url", "html").mapInPandas(
+        run, schema=POSITIONS_SCHEMA)

@@ -108,6 +108,10 @@ EXTRAS = {
 
 _PAD = "x" * 1100  # pushes variant-6 meta past the 1024-byte prescan window
 
+# variant-4 stream prefix (must be the very first bytes — Charset.php:306);
+# shared with the extract_error_positions oracle (col arithmetic)
+XMLDECL = '<?xml version="1.0" encoding="ISO-8859-15"?>'
+
 
 def _escape(s: str) -> str:
     return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
@@ -190,8 +194,7 @@ def build_page(doc_id: int, text: str, lang: str, source: str
 
     head_parts = []
     if label == "xmldecl":
-        # must be the very first bytes of the stream (Charset.php:306)
-        head_parts.append('<?xml version="1.0" encoding="ISO-8859-15"?>')
+        head_parts.append(XMLDECL)
     if doc_id % 11 != 0:
         head_parts.append("<!DOCTYPE html>")
     head_parts.append("<html><head>")
