@@ -62,6 +62,21 @@ TEXT_SQL = (f"('Doc ' || doc_id || chr(10) || "
             f"repeat(text || chr(10), {REP_SQL} - 1) || text || chr(10) || "
             f"'src=' || source || '&lang=' || lang || {_EXTRA_TEXT_SQL}"
             f" || {_CJK_TEXT_SQL})")
+# main-content variant of the extras text (operators/extract.py::
+# extract_main_content): boilerplate subtrees stripped — bucket 2 loses
+# textarea/script/style, bucket 4 loses svg/math entirely; footer is
+# always stripped (its leading "\n" text node survives). Keep in
+# lockstep with engine/extractor.py::BOILERPLATE_TAGS.
+_MAIN_EXTRA = {1: EXTRAS[1][1], 2: "L1\nL2", 3: EXTRAS[3][1], 4: "",
+               5: "", 6: EXTRAS[6][1], 7: EXTRAS[7][1]}
+_MAIN_EXTRA_SQL = ("(CASE doc_id % 23 " + " ".join(
+    f"WHEN {k} THEN chr(10) || {_sql_str(v)}"
+    for k, v in sorted(_MAIN_EXTRA.items())) + " ELSE '' END)")
+MAIN_TEXT_SQL = (f"('Doc ' || doc_id || chr(10) || "
+                 f"repeat(text || chr(10), {REP_SQL} - 1) || text || chr(10)"
+                 f" || {_MAIN_EXTRA_SQL} || {_CJK_TEXT_SQL})")
+N_DROPPED_SQL = ("(1 + CASE doc_id % 23 WHEN 2 THEN 3 WHEN 4 THEN 2 "
+                 "ELSE 0 END)::bigint")
 ENC_SQL = ("(CASE doc_id % 10 " + " ".join(
     f"WHEN {i} THEN '{e}'" for i, e in enumerate(REPORTED_ENCODING))
     + " END)")
@@ -360,6 +375,15 @@ def _q_extract_error_positions(spark, sf_dir):
     corpus is built from — independently cross-checked against the
     engine on all 500 sf0.01 docs (0 mismatches, first derivation)."""
     return extract_error_positions(pages_df(spark, sf_dir))
+
+
+def _q_extract_main_content(spark, sf_dir):
+    """Boilerplate strip + DOM heuristics (north_rule surface): footer
+    always stripped; bucket 2 loses textarea/script/style text; bucket
+    4 loses its svg/math subtrees. Cross-checked against the engine on
+    all 500 sf0.01 docs before the oracle was frozen (0 mismatches)."""
+    from html_parser_spark.operators.extract import extract_main_content
+    return extract_main_content(pages_df(spark, sf_dir))
 
 
 def _q_roundtrip(spark, sf_dir):
@@ -700,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_with_transport": _q_extract_transport,
         "extract_failures": _q_extract_failures,
         "extract_error_positions": _q_extract_error_positions,
+        "extract_main_content": _q_extract_main_content,
         "serializer_roundtrip": _q_roundtrip,
         "resume_antijoin": _q_resume_antijoin,
         "dedup_exact": _q_dedup_exact,
@@ -792,6 +817,12 @@ SELECT {URL_SQL} AS url,
              ELSE 0 END)::bigint AS tree_col,
        {N_ERRORS_SQL} AS n_positions
 FROM w""",
+        "extract_main_content": f"""
+SELECT {URL_SQL} AS url, {MAIN_TEXT_SQL} AS main_text,
+       {N_DROPPED_SQL} AS n_dropped,
+       len({MAIN_TEXT_SQL})::bigint AS main_chars,
+       len({TEXT_SQL})::bigint AS body_chars
+FROM documents""",
         "serializer_roundtrip": """
 SELECT count(*) AS n_docs, count(*) AS n_idempotent FROM documents""",
         "resume_antijoin": f"""

@@ -100,3 +100,62 @@ def extract_text(doc: Document, max_spans: int = 10_000,
                 if cp is not None and len(spans) < max_spans:
                     spans.append((cp, name, start, offset))
     return "".join(parts), spans
+
+
+# readability/trafilatura-style boilerplate tags: subtrees whose text is
+# chrome/noise for a training corpus, not main content (north_rule:
+# "main-content extraction pipeline (HTML boilerplate strip, DOM
+# heuristics)"). The reference stops at body.textContent; this layer is
+# our pipeline's addition on top of the spec-exact DOM.
+BOILERPLATE_TAGS = frozenset({
+    "script", "style", "template", "noscript", "nav", "header", "footer",
+    "aside", "iframe", "form", "button", "select", "option", "textarea",
+    "svg", "math",
+})
+
+
+def select_content_root(body: Element) -> Element:
+    """DOM heuristic for the main-content container: the first <main>,
+    else the first <article>, else the body itself (document order,
+    preorder). Mirrors the semantic-HTML fast path every readability
+    implementation takes before falling back to scoring."""
+    first_article = None
+    stack = [body]
+    while stack:
+        n = stack.pop()
+        if type(n) is Element and n.namespace == HTML_NS:
+            if n.name == "main":
+                return n
+            if n.name == "article" and first_article is None:
+                first_article = n
+        if isinstance(n, (Element, Document, DocumentFragment)):
+            stack.extend(reversed(n.children))
+    return first_article if first_article is not None else body
+
+
+def extract_main_text(doc: Document) -> tuple[str, int]:
+    """(main_text, n_dropped): textContent of the content root with
+    boilerplate subtrees removed; n_dropped counts the removed
+    subtrees. Template contents are already excluded (not children).
+    Foreign (svg/math) subtrees count as boilerplate regardless of
+    namespace — their tag names are in the set."""
+    body = find_body(doc)
+    if body is None:
+        return "", 0
+    root = select_content_root(body)
+    parts: list[str] = []
+    dropped = 0
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        t = type(n)
+        if t is Text:
+            parts.append(n.data)
+        elif t is Element:
+            if n is not root and n.name in BOILERPLATE_TAGS:
+                dropped += 1
+                continue
+            stack.extend(reversed(n.children))
+        elif isinstance(n, (Document, DocumentFragment)):
+            stack.extend(reversed(n.children))
+    return "".join(parts), dropped

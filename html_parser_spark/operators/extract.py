@@ -207,3 +207,36 @@ def extract_error_positions(pages_df):
 
     return pages_df.select("url", "html").mapInPandas(
         run, schema=POSITIONS_SCHEMA)
+
+
+MAIN_CONTENT_SCHEMA = ("url string, main_text string, n_dropped long, "
+                       "main_chars long, body_chars long")
+
+
+def extract_main_content(pages_df):
+    """Boilerplate-stripped main-content extraction (north_rule: "HTML
+    boilerplate strip, DOM heuristics"): parse, pick the content root
+    (<main> > <article> > body — engine/extractor.py::
+    select_content_root), drop BOILERPLATE_TAGS subtrees, and emit the
+    remaining textContent plus audit counters (dropped-subtree count,
+    main vs full-body char counts — the boilerplate ratio a curation
+    pipeline filters on)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..engine.extractor import extract_main_text
+        cols = ["url", "main_text", "n_dropped", "main_chars", "body_chars"]
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                raw = bytes(html) if html is not None else b""
+                try:
+                    o = parse(raw)
+                    main, dropped = extract_main_text(o.document)
+                    body = extract_body_text(o.document)
+                    rows.append((url, main, dropped, len(main), len(body)))
+                except Exception:
+                    rows.append((url, "", -1, -1, -1))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages_df.select("url", "html").mapInPandas(
+        run, schema=MAIN_CONTENT_SCHEMA)

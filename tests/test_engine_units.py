@@ -392,3 +392,57 @@ def test_single_eof_token_every_state():
             toks = list(tz.Tokenizer(text, initial_state=state).tokenize())
             assert sum(1 for t in toks if t[0] == tz.EOF) == 1, \
                 (state, text, toks)
+
+
+class TestMainContent:
+    """Boilerplate strip + DOM heuristics (north_rule surface) — the
+    container-preference and strip rules the corpus oracle can't reach
+    (the synthesized pages have no <main>/<article>)."""
+
+    def _main(self, html):
+        from html_parser_spark.engine.extractor import extract_main_text
+        from html_parser_spark.engine.parser import parse
+        return extract_main_text(parse(html).document)
+
+    def test_main_preferred_over_article_and_body(self):
+        text, nd = self._main(
+            b"<body>chrome<article>art</article><main>M<nav>n</nav></main>")
+        assert text == "M"
+        assert nd == 1
+
+    def test_article_fallback(self):
+        text, nd = self._main(
+            b"<body>chrome<article>A<footer>f</footer></article>")
+        assert (text, nd) == ("A", 1)
+
+    def test_body_fallback_strips_boilerplate(self):
+        text, nd = self._main(
+            b"<body>x<script>s()</script><nav>menu</nav>"
+            b"<aside>ads</aside>y<form><input></form>")
+        assert (text, nd) == ("xy", 4)
+
+    def test_root_tag_itself_never_stripped(self):
+        # a <main> is the root even though nothing strips it; nested
+        # boilerplate inside still drops
+        text, nd = self._main(b"<main>k<template>t</template></main>")
+        assert (text, nd) == ("k", 1)
+
+    def test_nested_boilerplate_counts_once(self):
+        # the subtree is dropped whole: inner boilerplate not re-counted
+        text, nd = self._main(b"<body>a<footer>f<nav>n</nav></footer>b")
+        assert (text, nd) == ("ab", 1)
+
+    def test_foreign_subtrees_dropped(self):
+        text, nd = self._main(
+            b"<body>t<svg><title>s</title></svg><math><mi>m</mi></math>")
+        assert (text, nd) == ("t", 2)
+
+    def test_first_main_in_document_order(self):
+        text, _ = self._main(b"<body><div><main>first</main></div>"
+                             b"<main>second</main>")
+        assert text == "first"
+
+    def test_deep_nesting_safe(self):
+        html = b"<body>" + b"<div>" * 5000 + b"core" + b"</div>" * 5000
+        text, nd = self._main(html)
+        assert (text, nd) == ("core", 0)
