@@ -510,9 +510,12 @@ def decode_count(data: bytes, encoding: str) -> tuple[str, int]:
             text = text.replace("\r\n", "\n").replace("\r", "\n")
         return text, 0
     except UnicodeDecodeError:
-        text = decode(data, encoding)
+        # the counting handler replaces byte-for-byte like 'replace',
+        # so its output IS the decoded text — one decode, not two
         _DECODE_ERR_TL.n = 0
-        body.decode(codec, "hps-counting-replace")
+        text = body.decode(codec, "hps-counting-replace")
+        if "\r" in text:
+            text = text.replace("\r\n", "\n").replace("\r", "\n")
         return text, _DECODE_ERR_TL.n
 
 

@@ -657,8 +657,9 @@ class TreeBuilder:
             if not self._in_scope(fmt, SCOPE_DEFAULT):
                 self.error("adoption-agency-4.4")
                 return
-            if fmt is not self.current:
-                self.error("adoption-agency-1.3")
+            # unconditional here: the fmt-is-current (no-error) case
+            # already returned through the fast path above
+            self.error("adoption-agency-1.3")
             stack_i = self.stack.index(fmt)
             furthest = None
             furthest_i = -1

@@ -54,11 +54,14 @@ def parse_extract_batch(pdf: pd.DataFrame, part_id: int, batch_seq: int,
     column (the crawl's HTTP header) fed into the sniff ladder as the
     transport layer (Charset::fromTransport semantics).
     ``preprocess`` is an optional ``bytes -> bytes`` hook applied before
-    the cap/parse (e.g. ``zlib.decompress`` for gzip-transfer-encoded
-    crawl payloads); unlike the parse itself — which never raises on any
-    byte input — decompression of corrupt payloads genuinely can, and
-    such rows take the failure arm (``encoding='error', n_errors=-1``)
-    without failing the task."""
+    the cap/parse (decompression of gzip-transfer-encoded crawl
+    payloads — use ``bounded_zlib(max_html_bytes)``, NOT bare
+    ``zlib.decompress``: the cap below runs after the hook, so an
+    unbounded decompressor would let a deflate bomb blow the worker's
+    memory before the cap sees it); unlike the parse itself — which
+    never raises on any byte input — decompression of corrupt payloads
+    genuinely can, and such rows take the failure arm
+    (``encoding='error', n_errors=-1``) without failing the task."""
     out = {k: [] for k in ("url", "text", "spans", "encoding", "quirks_mode",
                            "n_errors", "n_tokens", "n_elements",
                            "html_bytes", "truncated")}
@@ -98,6 +101,23 @@ def parse_extract_batch(pdf: pd.DataFrame, part_id: int, batch_seq: int,
     res["part_id"] = part_id
     res["batch_seq"] = batch_seq
     return res
+
+
+def bounded_zlib(max_bytes: int):
+    """``preprocess`` hook: zlib decompression with a hard output
+    bound. A deflate bomb (KBs of input, GBs of output) yields at most
+    ``max_bytes + 1`` bytes — the caller's ``max_html_bytes`` cap then
+    truncates and flags the row — so one adversarial payload can never
+    exhaust an executor. Corrupt input still raises (``zlib.error``)
+    into the per-row failure arm. Pass the job's ``max_html_bytes`` as
+    ``max_bytes``."""
+    import zlib
+
+    def hook(raw: bytes) -> bytes:
+        d = zlib.decompressobj()
+        return d.decompress(raw, max_bytes + 1)
+
+    return hook
 
 
 def extract_pages(pages_df, max_html_bytes: int = 64 * 1024 * 1024,

@@ -59,17 +59,34 @@ def _session_fn(gap_s: int, close_stale_after_s: int | None = None):
         source = key[0]
         cols = ["source", "session_id", "n_docs", "start_ts", "end_ts"]
         if close_stale_after_s is not None and state.hasTimedOut:
+            start, end, n, sid = state.get
+            if start is None:
+                # the placeholder itself expired (source silent for the
+                # 10x window below): drop the state row entirely so
+                # store size tracks ACTIVE sources, not every source
+                # ever seen — a source returning after this long
+                # restarts its ordinal at 0 (documented trade-off)
+                state.remove()
+                return
             # event-time expiry: the watermark passed the open
             # session's end + grace — emit the session, but keep the
-            # sid counter (an empty placeholder state with no timeout)
-            # so a source that resumes crawling continues the
-            # monotonic per-source ordinal instead of restarting at 0,
-            # matching batch_sessions' unique (source, session_id) keys
-            start, end, n, sid = state.get
+            # sid counter (a placeholder state) so a source that
+            # resumes crawling continues the monotonic per-source
+            # ordinal instead of restarting at 0, matching
+            # batch_sessions' unique (source, session_id) keys. The
+            # placeholder is NOT permanent: it gets a 10x-longer
+            # timeout so the state store stays bounded by active
+            # sources (advisor r3: an unarmed placeholder leaks one
+            # state row per source ever seen).
             state.update((None, None, 0, sid + 1))
-            if start is not None:
-                yield pd.DataFrame([(source, sid, n, start, end)],
-                                   columns=cols)
+            # anchor on the watermark (the expiry can fire long after
+            # the session's own end in event time; a timeout must not
+            # be behind the current watermark)
+            state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs()
+                + 10 * close_stale_after_s * 1000)
+            yield pd.DataFrame([(source, sid, n, start, end)],
+                               columns=cols)
             return
         ts_all = []
         for pdf in pdfs:

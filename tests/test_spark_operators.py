@@ -386,7 +386,7 @@ def test_extract_failures_truncation_and_failure_isolation(spark, pages):
     that document without failing the task or disturbing neighbors."""
     import zlib
 
-    from html_parser_spark.operators.extract import extract_pages
+    from html_parser_spark.operators.extract import bounded_zlib, extract_pages
 
     cap = 64 * 1024
     out = extract_pages(pages, max_html_bytes=cap, with_spans=False)
@@ -411,7 +411,7 @@ def test_extract_failures_truncation_and_failure_isolation(spark, pages):
     compressed = pages.select("url", "html").mapInPandas(
         gz, schema="url string, html binary")
     failed = extract_pages(compressed, with_spans=False,
-                           preprocess=zlib.decompress)
+                           preprocess=bounded_zlib(cap))
     res = {r["url"]: r for r in
            failed.select("url", "encoding", "n_errors").collect()}
     assert res[poison]["encoding"] == "error"
@@ -419,3 +419,24 @@ def test_extract_failures_truncation_and_failure_isolation(spark, pages):
     ok = [r for u, r in res.items() if u != poison]
     assert len(ok) == 499
     assert all(r["n_errors"] >= 0 for r in ok)
+
+
+def test_bounded_zlib_defuses_deflate_bomb():
+    """A deflate bomb (KBs in, 100 MB out) must come back capped at
+    max_bytes+1 — never materializing the full payload — and corrupt
+    input must still raise into the failure arm."""
+    import zlib
+
+    import pytest as _pytest
+
+    from html_parser_spark.operators.extract import bounded_zlib
+
+    cap = 64 * 1024
+    bomb = zlib.compress(b"\x00" * (100 * 1024 * 1024))  # ~100 KB in
+    assert len(bomb) < 200 * 1024
+    out = bounded_zlib(cap)(bomb)
+    assert len(out) == cap + 1  # caller's cap then truncates + flags
+    with _pytest.raises(zlib.error):
+        bounded_zlib(cap)(b"not compressed at all")
+    legit = zlib.compress(b"<p>hi</p>")
+    assert bounded_zlib(cap)(legit) == b"<p>hi</p>"
