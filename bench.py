@@ -96,7 +96,7 @@ def main() -> None:
         # swings on this host); single run for the heavy ones
         for name, reps in (("dedup_exact", 2), ("dedup_minhash_lsh", 2),
                            ("dedup_simhash", 2), ("similarity_topk", 2),
-                           ("similarity_ann_lsh", 1), ("text_stats", 2),
+                           ("similarity_ann_lsh", 2), ("text_stats", 2),
                            ("lang_id", 2), ("fingerprint", 2)):
             queries[name] = time_query(qmap[name], spark, sf_dir, reps=reps)
         # multimodal: stage the synthetic media table first (same
@@ -114,7 +114,7 @@ def main() -> None:
                   .filter(F.col("doc_id") < 1000))
         from html_parser_spark.operators.dedup import jaccard_pairs
         queries["dedup_jaccard_1k"] = time_query(
-            lambda *_: jaccard_pairs(docs1k), None)
+            lambda *_: jaccard_pairs(docs1k), None, reps=2)
         # the production plan caps boilerplate-shingle fan-out; timing
         # both shows what the skew control buys
         queries["dedup_jaccard_1k_capped"] = time_query(
