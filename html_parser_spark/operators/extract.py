@@ -260,3 +260,30 @@ def extract_main_content(pages_df):
 
     return pages_df.select("url", "html").mapInPandas(
         run, schema=MAIN_CONTENT_SCHEMA)
+
+
+PDF_SCHEMA = "url string, text string, ok boolean, n_chars long"
+
+
+def extract_pdf_pages(pdfs_df):
+    """PDF text extraction at scale (north_rule "PDF/layout parse"):
+    (url, pdf binary) -> (url, text, ok, n_chars) via the stdlib PDF
+    parser (engine/pdf.py). Same isolation discipline as the HTML
+    kernel: a malformed document yields ok=false, never a failed
+    task. Column-pruned to (url, pdf) before the UDF."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..engine.pdf import extract_pdf_text
+        cols = ["url", "text", "ok", "n_chars"]
+        for pdf in batches:
+            rows = []
+            for url, raw in zip(pdf["url"], pdf["pdf"]):
+                try:
+                    text = extract_pdf_text(
+                        bytes(raw) if raw is not None else b"")
+                    rows.append((url, text, True, len(text)))
+                except Exception:
+                    rows.append((url, "", False, 0))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pdfs_df.select("url", "pdf").mapInPandas(run, schema=PDF_SCHEMA)

@@ -446,3 +446,52 @@ class TestMainContent:
         html = b"<body>" + b"<div>" * 5000 + b"core" + b"</div>" * 5000
         text, nd = self._main(html)
         assert (text, nd) == ("core", 0)
+
+
+class TestPdfExtract:
+    """engine/pdf.py — the north rule's PDF/layout-parse slot."""
+
+    def test_synthesized_variants_roundtrip(self):
+        from html_parser_spark.engine.pdf import extract_pdf_text
+        from html_parser_spark.sources.pdfs import (build_pdf,
+                                                    expected_pdf_text)
+        # ids chosen to hit every variant axis: compressed/raw,
+        # Tj/TJ, 1/2 pages, escape line, corrupt
+        for doc_id in (0, 1, 2, 3, 4, 6, 8, 9, 12, 15, 97, 194):
+            url, raw = build_pdf(doc_id, "alpha beta gamma", "en", "s")
+            exp = expected_pdf_text(doc_id, "alpha beta gamma", "en")
+            if doc_id % 97 == 0:
+                import pytest as _p
+                with _p.raises(ValueError):
+                    extract_pdf_text(raw)
+            else:
+                assert extract_pdf_text(raw) == exp
+
+    def test_literal_string_escapes(self):
+        from html_parser_spark.engine.pdf import _literal_string
+        # octal, named escapes, nested balanced parens, line continuation
+        s, end = _literal_string(b"(a\\101b)", 0)
+        assert s == "aAb"
+        s, _ = _literal_string(b"(x\\n\\t\\\\\\(\\))", 0)
+        assert s == "x\n\t\\()"
+        s, _ = _literal_string(b"(a(nested)b)", 0)
+        assert s == "a(nested)b"
+        s, _ = _literal_string(b"(one\\\ntwo)", 0)
+        assert s == "onetwo"
+
+    def test_tj_array_ignores_kerning(self):
+        from html_parser_spark.engine.pdf import _stream_text
+        assert _stream_text(b"BT [(he) -120 (llo)] TJ ET") == "hello"
+
+    def test_line_advance_semantics(self):
+        from html_parser_spark.engine.pdf import _stream_text
+        # leading Td before the first show emits no newline; each
+        # advance between shows emits exactly one
+        c = b"BT 72 720 Td (a) Tj 0 -14 Td 0 -14 TD (b) Tj T* (c) Tj ET"
+        assert _stream_text(c) == "a\nb\nc"
+
+    def test_not_a_pdf_raises(self):
+        import pytest as _p
+        from html_parser_spark.engine.pdf import extract_pdf_text
+        with _p.raises(ValueError):
+            extract_pdf_text(b"<html>nope</html>")
