@@ -478,6 +478,31 @@ def _q_dedup_simhash_pairs_prod(spark, sf_dir):
                     F.col("hamming").cast("long").alias("hamming")))
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 41 == 0 play the
+    eval set; every other doc sharing at least one word-3-gram with it
+    is flagged with its distinct-overlap count. Plan: benchmark gram
+    set broadcast, train side unshuffled until the per-doc count."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    train = docs.filter(F.col("doc_id") % 41 != 0)
+    return dedup.contamination_flags(train, bench)
+
+
+def _q_pii_scrub(spark, sf_dir):
+    """PII scrub over a corpus with deterministically injected
+    contact lines (one email + one phone appended per doc — the raw
+    corpus is verified @-free and 555-free at every sf), so redaction
+    counts and the scrubbed text are closed-form."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"), F.lit(" contact doc"), did,
+        F.lit("@crawl.example.org or 555-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"))
+    return textstats.pii_scrub(docs.withColumn("text", injected))
+
+
 def _q_sim_topk(spark, sf_dir):
     return (similarity.cosine_topk(_emb(spark, sf_dir), _SIM_QUERY_IDS, k=5)
             .select("q_id", "neighbor_id",
@@ -749,6 +774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_simhash_pairs_prod": _q_dedup_simhash_pairs_prod,
+        "decontaminate": _q_decontaminate,
+        "pii_scrub": _q_pii_scrub,
         "similarity_topk": _q_sim_topk,
         "similarity_ann_lsh": _q_sim_lsh,
         "similarity_ann_ivf": _q_sim_ivf,
@@ -901,6 +928,33 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash))::bigint AS hamming
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+        "decontaminate": f"""
+WITH {_SHINGLE_CTE},
+bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 41 = 0)
+SELECT g.doc_id AS doc_id, count(*)::bigint AS n_overlapping_grams
+FROM g JOIN bg USING (gram)
+WHERE g.doc_id % 41 <> 0
+GROUP BY g.doc_id""",
+        "pii_scrub": r"""
+WITH inj AS (
+  SELECT doc_id,
+         text || ' contact doc' || doc_id || '@crawl.example.org or 555-'
+              || lpad((doc_id % 10000)::varchar, 4, '0') AS t
+  FROM documents),
+e AS (
+  SELECT doc_id, t,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g') AS after_email
+  FROM inj)
+SELECT doc_id,
+       regexp_replace(after_email, '\b555-[0-9]{4}\b', '<PHONE>', 'g')
+         AS clean_text,
+       len(regexp_extract_all(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::bigint
+         AS n_emails,
+       len(regexp_extract_all(after_email,
+           '\b555-[0-9]{4}\b'))::bigint AS n_phones
+FROM e""",
         "similarity_topk": f"""
 WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id IN ({qids})),

@@ -243,3 +243,23 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (cand.filter(ham <= max_hamming)
             .select("doc_a", "doc_b", ham.alias("hamming")))
+
+
+def contamination_flags(train: DataFrame, benchmark: DataFrame,
+                        n: int = 3) -> DataFrame:
+    """Benchmark decontamination: training documents sharing ANY word
+    n-gram with a benchmark/eval set, with per-doc overlap counts —
+    the eval-leak filter every serious pretraining pipeline runs
+    (exact-substring variant; GPT-3/Llama-style 13-gram in production,
+    smaller n here to suit the test corpus).
+
+    Plan shape for 10^12 train docs: the benchmark side is TINY
+    relative to the corpus, so its distinct gram set is broadcast —
+    the train side never shuffles; the only exchange is the per-doc
+    overlap aggregation on flagged rows (a vanishing fraction).
+    Returns (doc_id, n_overlapping_grams)."""
+    g_train = word_shingles(train, n)
+    g_bench = word_shingles(benchmark, n).select("gram").distinct()
+    return (g_train.join(F.broadcast(g_bench), "gram")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_overlapping_grams")))

@@ -86,3 +86,27 @@ def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 4
             .filter(F.size("hs") >= w)
             .select("doc_id", F.explode(fps).alias("fp"))
             .distinct())
+
+
+# PII scrubbing patterns — deliberately conservative/simple so the
+# Spark (Java regex) and DuckDB (RE2) dialects agree exactly; a
+# production pipeline extends the table, each pattern parity-tested
+# the same way.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b555-[0-9]{4}\b"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, clean_text, n_emails, n_phones): redact email/phone
+    PII and count redactions — the mandatory scrub step of a
+    training-data pipeline. Pure Catalyst (regexp_replace /
+    regexp_count), zero Python in the hot path."""
+    t = F.col(text_col)
+    n_emails = F.regexp_count(t, F.lit(PII_EMAIL_RE))
+    clean = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    n_phones = F.regexp_count(clean, F.lit(PII_PHONE_RE))
+    clean = F.regexp_replace(clean, PII_PHONE_RE, "<PHONE>")
+    return docs.select("doc_id",
+                       clean.alias("clean_text"),
+                       n_emails.cast("long").alias("n_emails"),
+                       n_phones.cast("long").alias("n_phones"))

@@ -440,3 +440,32 @@ def test_bounded_zlib_defuses_deflate_bomb():
         bounded_zlib(cap)(b"not compressed at all")
     legit = zlib.compress(b"<p>hi</p>")
     assert bounded_zlib(cap)(legit) == b"<p>hi</p>"
+
+
+def test_contamination_flags_broadcasts_benchmark(spark):
+    """Decontamination plan shape: the benchmark gram set is broadcast
+    (train side unshuffled until the flagged-row aggregation); exact
+    overlap counts vs a local recomputation."""
+    from html_parser_spark.operators import dedup
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    train = docs.filter(F.col("doc_id") % 41 != 0)
+    out = dedup.contamination_flags(train, bench)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # local recomputation: distinct 3-gram overlap per train doc
+    rows = docs.collect()
+    def grams(t):
+        ws = t.split(" ")
+        return {" ".join(ws[i:i+3]) for i in range(len(ws) - 2)}
+    bg = set()
+    for r in rows:
+        if r["doc_id"] % 41 == 0:
+            bg |= grams(r["text"])
+    expected = {r["doc_id"]: len(grams(r["text"]) & bg)
+                for r in rows if r["doc_id"] % 41 != 0}
+    expected = {k: v for k, v in expected.items() if v}
+    got = {r["doc_id"]: r["n_overlapping_grams"] for r in out.collect()}
+    assert got == expected
