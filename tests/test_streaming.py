@@ -277,3 +277,36 @@ def test_sessionization_sid_monotonic_after_expiry(spark):
                               (1, base + 20_000_000, 1)], a_sessions
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_extract_dedup_suppresses_in_window_duplicates(spark):
+    """stream_extract_dedup: exact duplicates (same html bytes under a
+    different url) arriving within the watermark window are parsed and
+    emitted once; distinct payloads all survive; the dedup state key
+    is content, not url."""
+    from html_parser_spark.sources.pages import pages_df
+    from html_parser_spark.streaming.ingest import stream_extract_dedup
+
+    tmp = tempfile.mkdtemp(prefix="hps_sdedup_")
+    try:
+        pages = pages_df(spark, SF_DIR).filter(
+            F.crc32("url") % 5 == 0).cache()
+        n_uniq = pages.count()
+        # mirror every page under a second url with identical bytes
+        # and an identical event time (inside any watermark window)
+        mirrored = pages.withColumn(
+            "url", F.concat(F.col("url"), F.lit("?mirror=1")))
+        both = pages.unionByName(mirrored)
+        both.repartition(4).write.parquet(f"{tmp}/src")
+
+        q = stream_extract_dedup(spark, f"{tmp}/src", f"{tmp}/out",
+                                 f"{tmp}/ckpt")
+        q.awaitTermination(120)
+        out = spark.read.parquet(f"{tmp}/out")
+        assert out.count() == n_uniq  # every duplicate suppressed
+        # each surviving row is one of the two urls of its content
+        golden = pages.select(F.col("text").alias("g")).distinct()
+        j = out.join(golden, out["text"] == golden["g"], "left_anti")
+        assert j.count() == 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
