@@ -210,3 +210,20 @@ def run_report(out: DataFrame) -> dict:
     total["per_partition"] = {int(r["part_id"]): int(r["docs"])
                               for r in per_part}
     return total
+
+
+def write_bucketed(df: DataFrame, table_name: str, n_buckets: int = 64,
+                   key: str = "url") -> None:
+    """Write the extraction output as a url-hash-bucketed (and
+    per-bucket sorted) table. Downstream url-keyed work — exact dedup,
+    resume anti-joins, text-hash verification joins, recrawl diffs —
+    then reads pre-co-located data: Spark's bucketing metadata lets a
+    join or aggregation on ``key`` skip its Exchange entirely, which
+    at 10^12 rows is the difference between a metadata lookup and
+    re-shuffling the whole corpus. (Parquet stand-in for the Iceberg
+    table the north rule names; a catalog swap keeps the same call.)"""
+    (df.write
+       .mode("overwrite")
+       .bucketBy(n_buckets, key)
+       .sortBy(key)
+       .saveAsTable(table_name))  # managed: bucket metadata in the catalog

@@ -469,3 +469,34 @@ def test_contamination_flags_broadcasts_benchmark(spark):
     expected = {k: v for k, v in expected.items() if v}
     got = {r["doc_id"]: r["n_overlapping_grams"] for r in out.collect()}
     assert got == expected
+
+
+def test_write_bucketed_join_skips_exchange(spark, pages):
+    """Bucketed output co-locates downstream url-keyed work: a
+    groupBy(url) over the bucketed table plans with NO Exchange, and a
+    self-join on url plans as a SortMergeJoin with zero shuffles —
+    the shape that makes 10^12-row recrawl diffs feasible."""
+    from html_parser_spark.operators.extract import extract_pages
+    from html_parser_spark.plans.pipeline import write_bucketed
+
+    out = extract_pages(pages.limit(100), with_spans=False) \
+        .select("url", "text", "n_errors")
+    write_bucketed(out, "bucketed_extract_test", n_buckets=8)
+    try:
+        t = spark.table("bucketed_extract_test")
+        agg_plan = (t.groupBy("url").count()
+                    ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in agg_plan, agg_plan
+        # force the sort-merge path (AQE would broadcast this tiny
+        # table; at production scale both sides are huge)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = t.alias("a").join(t.alias("b"), "url")
+            join_plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange hashpartitioning" not in join_plan, join_plan
+            assert "SortMergeJoin" in join_plan, join_plan
+            assert j.count() == 100
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_extract_test")
