@@ -21,7 +21,14 @@ import re
 import zlib
 
 _OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.S)
-_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
+# /Contents may be a single indirect ref or an array of refs (the normal
+# form for multi-content-stream pages, e.g. Acrobat output).
+_CONTENTS_RE = re.compile(rb"/Contents\s*(\d+)\s+0\s+R")
+_CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[((?:\s*\d+\s+0\s+R)*)\s*\]")
+_REF_RE = re.compile(rb"(\d+)\s+0\s+R")
+# /Type/Page with or without whitespace, but never /Type/Pages (tree node)
+_TYPE_PAGE_RE = re.compile(rb"/Type\s*/Page(?![a-zA-Z])")
+_TYPE_PAGES_RE = re.compile(rb"/Type\s*/Pages(?![a-zA-Z])")
 _OP_RE = re.compile(rb"[A-Za-z'\"*]+")
 
 _ESCAPES = {ord("n"): "\n", ord("r"): "\r", ord("t"): "\t",
@@ -49,9 +56,13 @@ def _literal_string(data: bytes, pos: int) -> tuple[str, int]:
                     if i + 1 < n and 0x30 <= data[i + 1] <= 0x37:
                         i += 1
                         o = o * 8 + (data[i] - 0x30)
-                out.append(chr(o))
-            elif e == 0x0A:  # line continuation
+                # high-order overflow ignored per PDF 32000 §7.3.4.2
+                out.append(chr(o & 0xFF))
+            elif e == 0x0A:  # line continuation \<LF>
                 pass
+            elif e == 0x0D:  # line continuation \<CR> or \<CR><LF>
+                if i + 1 < n and data[i + 1] == 0x0A:
+                    i += 1
             else:
                 out.append(_ESCAPES.get(e, chr(e)))
             i += 1
@@ -131,21 +142,42 @@ def extract_pdf_text(data: bytes) -> str:
     page_texts: list[str] = []
     for num in sorted(objs):
         body = objs[num]
-        if b"/Type /Page" not in body or b"/Type /Pages" in body:
+        if _TYPE_PAGE_RE.search(body) is None \
+                or _TYPE_PAGES_RE.search(body) is not None:
             continue
-        cm = _CONTENTS_RE.search(body)
-        if cm is None:
-            continue
-        cobj = objs.get(int(cm.group(1)))
-        if cobj is None:
-            continue
-        sm = re.search(rb"stream\r?\n(.*?)\nendstream", cobj, re.S)
-        if sm is None:
-            continue
-        payload = sm.group(1)
-        if b"/FlateDecode" in cobj[:sm.start()]:
-            payload = zlib.decompress(payload)
-        page_texts.append(_stream_text(payload))
+        # Resolve content stream refs: array form first (it would also
+        # partially match the scalar regex), then single-ref form. A
+        # page we can SEE but cannot read is a hard failure — silent
+        # skipping would return ok=true with truncated text, the
+        # opposite of the per-row failure-arm discipline.
+        am = _CONTENTS_ARR_RE.search(body)
+        if am is not None:
+            refs = [int(g) for g in _REF_RE.findall(am.group(1))]
+        else:
+            cm = _CONTENTS_RE.search(body)
+            if cm is None:
+                raise ValueError(f"page obj {num}: no /Contents")
+            refs = [int(cm.group(1))]
+        payloads: list[bytes] = []
+        for ref in refs:
+            cobj = objs.get(ref)
+            if cobj is None:
+                raise ValueError(
+                    f"page obj {num}: missing content obj {ref}")
+            sm = re.search(rb"stream\r?\n(.*?)\nendstream", cobj, re.S)
+            if sm is None:
+                raise ValueError(
+                    f"page obj {num}: content obj {ref} has no stream")
+            payload = sm.group(1)
+            if b"/FlateDecode" in cobj[:sm.start()]:
+                payload = zlib.decompress(payload)
+            payloads.append(payload)
+        # PDF 32000 §7.8.2: multiple content streams are concatenated
+        # (with whitespace between) and parsed as ONE stream, so text
+        # state (line-advance pending, shown_any) carries across the
+        # stream boundary — parsing each separately would drop
+        # newlines at the seams.
+        page_texts.append(_stream_text(b"\n".join(payloads)))
     if not page_texts:
         raise ValueError("no extractable pages")
     return "\n".join(page_texts)

@@ -45,16 +45,21 @@ def exact_dedup_groups(docs: DataFrame) -> DataFrame:
 
 def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, gram) — distinct word n-gram shingles per document.
-    Pure Catalyst higher-order functions; no shuffle until the caller
-    aggregates."""
+    Pure Catalyst higher-order functions; genuinely ZERO shuffle: the
+    per-document dedup is ``array_distinct`` on the gram array *before*
+    the explode (explode is per-row, so array-level distinct ==
+    global ``(doc_id, gram)`` distinct), not a ``.distinct()`` — a
+    global distinct would hash-exchange every gram of every training
+    document, exactly the whole-corpus shuffle callers like
+    ``contamination_flags`` exist to avoid."""
     w = F.split(F.col("text"), " ")
     grams = F.when(
         F.size(w) >= n,
         F.transform(F.sequence(F.lit(1), F.size(w) - (n - 1)),
                     lambda i: F.concat_ws(" ", F.slice(w, i, n)))
     ).otherwise(F.array())
-    return (docs.select("doc_id", F.explode(grams).alias("gram"))
-            .distinct())
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
 
 
 def jaccard_pairs(docs: DataFrame, n: int = 3, min_pct: int = 60,

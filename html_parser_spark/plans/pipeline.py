@@ -221,8 +221,17 @@ def write_bucketed(df: DataFrame, table_name: str, n_buckets: int = 64,
     join or aggregation on ``key`` skip its Exchange entirely, which
     at 10^12 rows is the difference between a metadata lookup and
     re-shuffling the whole corpus. (Parquet stand-in for the Iceberg
-    table the north rule names; a catalog swap keeps the same call.)"""
-    (df.write
+    table the north rule names; a catalog swap keeps the same call.)
+
+    The repartition-by-key BEFORE the write is load-bearing: a bare
+    bucketBy write makes EVERY upstream task write one file per bucket
+    it touches (tasks × n_buckets files — the classic bucketed-write
+    small-file explosion; ~12,800 files at 200 shuffle partitions ×
+    64 buckets). Hash-repartitioning into n_buckets on the bucket key
+    first means each task holds exactly one bucket → one file per
+    bucket."""
+    (df.repartition(n_buckets, F.col(key))
+       .write
        .mode("overwrite")
        .bucketBy(n_buckets, key)
        .sortBy(key)

@@ -14,6 +14,9 @@ path in ``engine/pdf.py``):
 - ``% 3 == 0``  → text shown via ``TJ`` arrays with kerning numbers,
                   else plain ``Tj`` shows
 - ``% 4 == 1``  → two pages (the lang line moves to page 2)
+- ``% 5 == 2``  → page content split across two streams referenced via
+                  ``/Contents [a 0 R b 0 R]`` (Acrobat multi-stream
+                  form; PDF 32000 §7.8.2 concatenation)
 - ``% 7 == 1``  → an extra line containing ``(``, ``)`` and ``\\`` so
                   the literal-string escape path is oracle-pinned
 - ``% 97 == 0`` → deliberately corrupt bytes (no page object): the
@@ -55,15 +58,23 @@ def _content_stream(lines: list[str], use_tj_array: bool) -> bytes:
     return b"\n".join(ops)
 
 
+def _lines(doc_id: int, text: str, lang: str) -> list[str]:
+    """THE golden line list — single construction shared by the PDF
+    builder and the Python oracle so the two cannot drift (the third
+    copy, the DuckDB SQL in __spark_entry__.py, is independent by
+    design)."""
+    lines = [f"Doc {doc_id}", text, f"lang={lang}"]
+    if doc_id % 7 == 1:
+        lines.append(ESC_LINE)
+    return lines
+
+
 def expected_pdf_text(doc_id: int, text: str, lang: str) -> str:
     """Golden extraction — keep in lockstep with the oracle SQL in
     __spark_entry__.py (pdf_extract)."""
     if doc_id % 97 == 0:
         return ""
-    lines = [f"Doc {doc_id}", text, f"lang={lang}"]
-    if doc_id % 7 == 1:
-        lines.append(ESC_LINE)
-    return "\n".join(lines)
+    return "\n".join(_lines(doc_id, text, lang))
 
 
 def build_pdf(doc_id: int, text: str, lang: str, source: str
@@ -73,9 +84,7 @@ def build_pdf(doc_id: int, text: str, lang: str, source: str
         # corrupt: header but no parseable page/content object
         return url, b"%PDF-1.4\ngarbage " + str(doc_id).encode()
 
-    lines = [f"Doc {doc_id}", text, f"lang={lang}"]
-    if doc_id % 7 == 1:
-        lines.append(ESC_LINE)
+    lines = _lines(doc_id, text, lang)
     two_pages = doc_id % 4 == 1
     if two_pages:
         page_lines = [lines[:2], lines[2:]]
@@ -83,6 +92,10 @@ def build_pdf(doc_id: int, text: str, lang: str, source: str
         page_lines = [lines]
     use_tj = doc_id % 3 == 0
     compress = doc_id % 2 == 0
+    # %5==2: the page's ops are split across TWO content streams and
+    # referenced as "/Contents [a 0 R b 0 R]" — the normal Acrobat
+    # multi-stream form; the extractor must concatenate before parsing
+    split_contents = doc_id % 5 == 2
 
     objs: list[bytes] = []
 
@@ -90,26 +103,43 @@ def build_pdf(doc_id: int, text: str, lang: str, source: str
         objs.append(body)
         return len(objs)  # 1-based object number
 
-    n_pages = len(page_lines)
-    # object layout: 1 catalog, 2 pages, then per page (page, content),
-    # finally the font
-    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
-    add(b"<< /Type /Catalog /Pages 2 0 R >>")
-    add(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
-        .encode())
-    font_num = 3 + 2 * n_pages
-    for i, pl in enumerate(page_lines):
-        add(f"<< /Type /Page /Parent 2 0 R /Contents {4 + 2 * i} 0 R "
-            f"/MediaBox [0 0 612 792] /Resources << /Font << /F1 "
-            f"{font_num} 0 R >> >> >>".encode())
-        data = _content_stream(pl, use_tj)
+    def add_stream(data: bytes) -> int:
         if compress:
             data = zlib.compress(data)
             head = (b"<< /Length " + str(len(data)).encode()
                     + b" /Filter /FlateDecode >>")
         else:
             head = b"<< /Length " + str(len(data)).encode() + b" >>"
-        add(head + b"\nstream\n" + data + b"\nendstream")
+        return add(head + b"\nstream\n" + data + b"\nendstream")
+
+    n_pages = len(page_lines)
+    streams_per_page = 2 if split_contents else 1
+    stride = 1 + streams_per_page  # page obj + its content objs
+    # object layout: 1 catalog, 2 pages, then per page
+    # (page, content...), finally the font
+    kids = " ".join(f"{3 + stride * i} 0 R" for i in range(n_pages))
+    add(b"<< /Type /Catalog /Pages 2 0 R >>")
+    add(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
+        .encode())
+    font_num = 3 + stride * n_pages
+    for i, pl in enumerate(page_lines):
+        first_c = 4 + stride * i
+        if split_contents:
+            contents = (f"[{first_c} 0 R {first_c + 1} 0 R]")
+        else:
+            contents = f"{first_c} 0 R"
+        add(f"<< /Type /Page /Parent 2 0 R /Contents {contents} "
+            f"/MediaBox [0 0 612 792] /Resources << /Font << /F1 "
+            f"{font_num} 0 R >> >> >>".encode())
+        data = _content_stream(pl, use_tj)
+        if split_contents:
+            # split at an op boundary; §7.8.2 concatenation restores it
+            ops = data.split(b"\n")
+            mid = max(1, len(ops) // 2)
+            add_stream(b"\n".join(ops[:mid]))
+            add_stream(b"\n".join(ops[mid:]))
+        else:
+            add_stream(data)
     add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
 
     buf = [b"%PDF-1.4"]

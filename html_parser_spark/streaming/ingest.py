@@ -23,12 +23,31 @@ from ..sources.pages import PAGES_SCHEMA
 
 def stream_extract(spark: SparkSession, source_dir: str, output_dir: str,
                    checkpoint_dir: str, available_now: bool = True,
-                   max_files_per_trigger: int = 8, with_spans: bool = False):
-    """Start the streaming extraction; returns the StreamingQuery."""
+                   max_files_per_trigger: int = 8, with_spans: bool = False,
+                   dedup_watermark: str | None = None):
+    """Start the streaming extraction; returns the StreamingQuery.
+
+    ``dedup_watermark`` (e.g. ``"1 hour"``) inserts an in-flight exact
+    dedup stage BEFORE the parse kernel: recrawled / mirrored pages
+    arriving within the watermark window are parsed and emitted once,
+    keyed on the raw html's md5 (content identity — dedup_exact
+    semantics). Duplicate payloads never pay the expensive parse stage
+    — the right order at crawl scale — and
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state by the
+    delay window, not the stream's history (the only state shape that
+    survives an unbounded crawl)."""
+    from pyspark.sql import functions as F
+
     src = (spark.readStream
            .schema(PAGES_SCHEMA)
            .option("maxFilesPerTrigger", str(max_files_per_trigger))
            .parquet(source_dir))
+    if dedup_watermark is not None:
+        src = (src
+               .withColumn("html_md5", F.md5(F.col("html")))
+               .withWatermark("warc_ts", dedup_watermark)
+               .dropDuplicatesWithinWatermark(["html_md5"])
+               .drop("html_md5"))
     out = extract_pages(src, with_spans=with_spans)
     writer = (out.writeStream
               .format("parquet")
@@ -45,31 +64,10 @@ def stream_extract_dedup(spark: SparkSession, source_dir: str,
                          watermark_delay: str = "1 hour",
                          available_now: bool = True,
                          with_spans: bool = False):
-    """Streaming extraction with in-flight exact dedup: recrawled /
-    mirrored pages arriving within the watermark window are parsed and
-    emitted once, keyed on the raw html's md5 (content identity —
-    dedup_exact semantics). The dedup runs BEFORE the parse kernel, so
-    duplicate payloads never pay the expensive stage — the right order
-    at crawl scale — and ``dropDuplicatesWithinWatermark`` bounds the
-    dedup state by the delay window, not the stream's history (the
-    only state shape that survives an unbounded crawl). Returns the
-    StreamingQuery."""
-    from pyspark.sql import functions as F
-
-    src = (spark.readStream
-           .schema(PAGES_SCHEMA)
-           .parquet(source_dir))
-    uniq = (src
-            .withColumn("html_md5", F.md5(F.col("html")))
-            .withWatermark("warc_ts", watermark_delay)
-            .dropDuplicatesWithinWatermark(["html_md5"])
-            .drop("html_md5"))
-    out = extract_pages(uniq, with_spans=with_spans)
-    writer = (out.writeStream
-              .format("parquet")
-              .option("path", output_dir)
-              .option("checkpointLocation", checkpoint_dir)
-              .outputMode("append"))
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    """Thin alias: ``stream_extract`` with the dedup stage enabled —
+    one reader/writer construction, no drift between the two entry
+    points."""
+    return stream_extract(spark, source_dir, output_dir, checkpoint_dir,
+                          available_now=available_now,
+                          with_spans=with_spans,
+                          dedup_watermark=watermark_delay)

@@ -457,7 +457,9 @@ class TestPdfExtract:
                                                     expected_pdf_text)
         # ids chosen to hit every variant axis: compressed/raw,
         # Tj/TJ, 1/2 pages, escape line, corrupt
-        for doc_id in (0, 1, 2, 3, 4, 6, 8, 9, 12, 15, 97, 194):
+        # 2/12/22/57 hit the %5==2 split-/Contents arm (57 compounds
+        # it with two pages + TJ arrays)
+        for doc_id in (0, 1, 2, 3, 4, 6, 8, 9, 12, 15, 22, 57, 97, 194):
             url, raw = build_pdf(doc_id, "alpha beta gamma", "en", "s")
             exp = expected_pdf_text(doc_id, "alpha beta gamma", "en")
             if doc_id % 97 == 0:
@@ -495,3 +497,48 @@ class TestPdfExtract:
         from html_parser_spark.engine.pdf import extract_pdf_text
         with _p.raises(ValueError):
             extract_pdf_text(b"<html>nope</html>")
+
+    def test_cr_line_continuations(self):
+        from html_parser_spark.engine.pdf import _literal_string
+        # \<CR> and \<CR><LF> are continuations like \<LF>
+        s, _ = _literal_string(b"(one\\\rtwo)", 0)
+        assert s == "onetwo"
+        s, _ = _literal_string(b"(one\\\r\ntwo)", 0)
+        assert s == "onetwo"
+
+    def test_octal_overflow_wraps_mod_256(self):
+        from html_parser_spark.engine.pdf import _literal_string
+        # PDF 32000 §7.3.4.2: high-order overflow ignored
+        s, _ = _literal_string(b"(\\777)", 0)
+        assert s == chr(0xFF)
+
+    def test_unreadable_page_hard_fails(self):
+        import pytest as _p
+        from html_parser_spark.engine.pdf import extract_pdf_text
+        # a visible page whose content cannot be resolved must raise,
+        # not silently return partial text with ok=true
+        base = (b"%PDF-1.4\n"
+                b"1 0 obj\n<< /Type /Page /Contents 9 0 R >>\nendobj\n"
+                b"2 0 obj\n<< /Type /Page /Contents 3 0 R >>\nendobj\n"
+                b"3 0 obj\n<< /Length 14 >>\nstream\n"
+                b"BT (ok) Tj ET\nendstream\nendobj\n")
+        with _p.raises(ValueError, match="missing content obj 9"):
+            extract_pdf_text(base)
+        nocontents = (b"%PDF-1.4\n"
+                      b"1 0 obj\n<< /Type /Page >>\nendobj\n")
+        with _p.raises(ValueError, match="no /Contents"):
+            extract_pdf_text(nocontents)
+
+    def test_type_page_without_space_and_array_contents(self):
+        from html_parser_spark.engine.pdf import extract_pdf_text
+        # /Type/Page (no space) + /Contents array; the two streams are
+        # concatenated BEFORE parsing so the line advance pending at
+        # the seam survives (b lands on a new line)
+        doc = (b"%PDF-1.4\n"
+               b"1 0 obj\n<< /Type/Page /Contents [2 0 R 3 0 R] >>\n"
+               b"endobj\n"
+               b"2 0 obj\n<< /Length 99 >>\nstream\n"
+               b"BT (a) Tj 0 -14 Td\nendstream\nendobj\n"
+               b"3 0 obj\n<< /Length 99 >>\nstream\n"
+               b"(b) Tj ET\nendstream\nendobj\n")
+        assert extract_pdf_text(doc) == "a\nb"

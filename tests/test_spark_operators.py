@@ -455,6 +455,16 @@ def test_contamination_flags_broadcasts_benchmark(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+    # the no-train-shuffle claim, pinned: the only hash exchanges are
+    # the tiny benchmark-side gram distinct (on gram, pre-broadcast)
+    # and the final per-doc aggregation (on doc_id). A .distinct()
+    # inside word_shingles would add a full train-gram Exchange keyed
+    # on BOTH doc_id and gram — assert that signature is absent.
+    import re as _re
+    keys = _re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(keys) <= 2, plan
+    for k in keys:
+        assert not ("doc_id" in k and "gram" in k), plan
     # local recomputation: distinct 3-gram overlap per train doc
     rows = docs.collect()
     def grams(t):
