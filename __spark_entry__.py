@@ -728,6 +728,23 @@ def _q_text_stats(spark, sf_dir):
                     F.col("n_subtokens").cast("long").alias("n_subtokens"))
 
 
+def _q_repetition_stats(spark, sf_dir):
+    # Gopher-style repetition features — zero-shuffle narrow map
+    # (sorted-bigram run-length scan); the oracle recomputes the mode
+    # count via the independent explode+GROUP BY formulation
+    return textstats.repetition_stats(_docs(spark, sf_dir))
+
+
+def _q_domain_quota(spark, sf_dir):
+    # per-site crawl-diversity cap: first 10 urls per source site,
+    # skew-safe salted pre-cap + exact window (operators/sampling.py)
+    from html_parser_spark.operators import sampling
+    sited = (pages_df(spark, sf_dir).select("url")
+             .withColumn("site", sampling.site_of()))
+    return (sampling.quota_sample(sited, "site", 10, "url")
+            .select("site", "url", "rk"))
+
+
 def _q_lang_id(spark, sf_dir):
     return textstats.lang_id(_docs(spark, sf_dir))
 
@@ -788,6 +805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_frame_sample": _q_multimodal_frames,
         "text_stats": _q_text_stats,
+        "repetition_stats": _q_repetition_stats,
+        "domain_quota": _q_domain_quota,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "fingerprint_winnow": _q_fingerprint_winnow,
@@ -1019,6 +1038,32 @@ SELECT doc_id,
        list_sum(list_transform(ws, t -> (length(t) + 3) // 4))::bigint
          AS n_subtokens
 FROM w""",
+        "repetition_stats": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+     d AS (SELECT doc_id, len(ws)::bigint AS n_words,
+                  len(list_distinct(ws))::bigint AS n_distinct_words, ws
+           FROM t WHERE len(ws) >= 2),
+     b AS (SELECT doc_id, n_words, n_distinct_words,
+                  unnest(list_transform(generate_series(1, len(ws) - 1),
+                                        i -> ws[i] || ' ' || ws[i + 1]))
+                    AS gram
+           FROM d),
+     c AS (SELECT doc_id, n_words, n_distinct_words, gram,
+                  count(*) AS cnt
+           FROM b GROUP BY ALL)
+SELECT doc_id, n_words, n_distinct_words,
+       ((100 * (n_words - n_distinct_words)) // n_words)::bigint
+         AS dup_word_pct,
+       max(cnt)::bigint AS top_bigram_count,
+       count(*)::bigint AS n_distinct_bigrams
+FROM c GROUP BY doc_id, n_words, n_distinct_words""",
+        "domain_quota": f"""
+WITH u AS (SELECT {URL_SQL} AS url, source AS site FROM documents),
+     r AS (SELECT site, url,
+                  (row_number() OVER (PARTITION BY site
+                                      ORDER BY url))::bigint AS rk
+           FROM u)
+SELECT site, url, rk FROM r WHERE rk <= 10""",
         "lang_id": f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
 SELECT doc_id,

@@ -41,6 +41,57 @@ def token_stats(docs: DataFrame) -> DataFrame:
         n_sub.alias("n_subtokens"))
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality features, ZERO shuffle.
+
+    (doc_id, n_words, n_distinct_words, dup_word_pct,
+    top_bigram_count, n_distinct_bigrams) for every document with at
+    least two whitespace tokens. ``top_bigram_count`` (the occurrence
+    count of the most frequent word 2-gram) is the classic
+    repeated-n-gram signal from the Gopher/MassiveText quality rules;
+    ``dup_word_pct`` is the duplicate-token fraction (×100, floor).
+
+    Scale shape: the obvious plan (explode bigrams → groupBy count →
+    max) costs two Exchanges per corpus pass. Instead the mode count
+    is computed per-row as a run-length scan over the SORTED bigram
+    array (``array_sort`` + ``aggregate`` — all Catalyst higher-order
+    functions, whole-stage codegen), so quality filtering a 10^12-doc
+    corpus is a pure narrow map: no shuffle, no Python. The DuckDB
+    oracle deliberately uses the explode+group formulation — an
+    independent computation path pinning the same values."""
+    w = F.split(F.col("text"), " ")
+    n_words = F.size(w).cast("long")
+    n_distinct = F.size(F.array_distinct(w)).cast("long")
+    grams = F.transform(F.sequence(F.lit(1), F.size(w) - 1),
+                        lambda i: F.concat_ws(" ", F.slice(w, i, 2)))
+    sg = F.array_sort(grams)
+    # max run length in the sorted array == max bigram multiplicity
+    run_state = F.aggregate(
+        sg,
+        F.struct(F.lit(None).cast("string").alias("prev"),
+                 F.lit(0).cast("long").alias("run"),
+                 F.lit(0).cast("long").alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))).alias("best")),
+        lambda acc: acc["best"])
+    return (docs.filter(F.size(w) >= 2)
+            .select(
+                "doc_id",
+                n_words.alias("n_words"),
+                n_distinct.alias("n_distinct_words"),
+                F.floor(100 * (n_words - n_distinct) / n_words)
+                .cast("long").alias("dup_word_pct"),
+                run_state.alias("top_bigram_count"),
+                F.size(F.array_distinct(grams)).cast("long")
+                .alias("n_distinct_bigrams")))
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """(doc_id, lang_pred): 'en' if stopword tokens ≥ threshold% else
     'unk'. Integer comparison form keeps it oracle-exact."""

@@ -510,3 +510,58 @@ def test_write_bucketed_join_skips_exchange(spark, pages):
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     finally:
         spark.sql("DROP TABLE IF EXISTS bucketed_extract_test")
+
+
+def test_repetition_stats_zero_shuffle_and_values(spark):
+    """Gopher repetition features are a pure narrow map — NO Exchange
+    anywhere in the plan (the mode-bigram count is a sorted-array
+    run-length scan, not an explode+groupBy) — and values match a
+    Python recomputation."""
+    from collections import Counter
+
+    from html_parser_spark.operators import textstats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    out = textstats.repetition_stats(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    for r in out.collect():
+        ws = None
+        # recompute from the source row
+        row = docs.filter(F.col("doc_id") == r["doc_id"]).first()
+        ws = row["text"].split(" ")
+        grams = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        assert r["n_words"] == len(ws)
+        assert r["n_distinct_words"] == len(set(ws))
+        assert r["dup_word_pct"] == (100 * (len(ws) - len(set(ws)))) \
+            // len(ws)
+        assert r["top_bigram_count"] == max(Counter(grams).values())
+        assert r["n_distinct_bigrams"] == len(set(grams))
+        break  # one full recompute row-trip; the oracle covers all 500
+
+
+def test_quota_sample_matches_naive_window(spark):
+    """The salted two-phase quota returns EXACTLY the naive
+    single-window answer, for several caps and salt counts (including
+    n_salt=1, the degenerate no-salting case)."""
+    from pyspark.sql import Window
+
+    from html_parser_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "source")
+    naive_w = Window.partitionBy("source").orderBy("doc_id")
+    for cap in (1, 7, 30):
+        for n_salt in (1, 4, 16):
+            got = sorted(
+                (r["source"], r["doc_id"], r["rk"]) for r in
+                sampling.quota_sample(docs, "source", cap, "doc_id",
+                                      n_salt=n_salt).collect())
+            want = sorted(
+                (r["source"], r["doc_id"], r["rk"]) for r in
+                docs.withColumn(
+                    "rk",
+                    F.row_number().over(naive_w).cast("long"))
+                .filter(F.col("rk") <= cap).collect())
+            assert got == want, (cap, n_salt)
