@@ -97,7 +97,8 @@ def main() -> None:
         for name, reps in (("dedup_exact", 2), ("dedup_minhash_lsh", 2),
                            ("dedup_simhash", 2), ("similarity_topk", 2),
                            ("similarity_ann_lsh", 2), ("text_stats", 2),
-                           ("lang_id", 2), ("fingerprint", 2)):
+                           ("lang_id", 2), ("fingerprint", 2),
+                           ("repetition_stats", 2), ("domain_quota", 2)):
             queries[name] = time_query(qmap[name], spark, sf_dir, reps=reps)
         # multimodal: stage the synthetic media table first (same
         # methodology as pages — synthesis excluded from the timing),
