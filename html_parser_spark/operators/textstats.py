@@ -62,8 +62,10 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     w = F.split(F.col("text"), " ")
     n_words = F.size(w).cast("long")
     n_distinct = F.size(F.array_distinct(w)).cast("long")
-    grams = F.transform(F.sequence(F.lit(1), F.size(w) - 1),
-                        lambda i: F.concat_ws(" ", F.slice(w, i, 2)))
+    # O(len) bigrams: zip the word array with its shift-by-one view
+    grams = F.zip_with(F.slice(w, 1, F.size(w) - 1),
+                       F.slice(w, 2, F.size(w) - 1),
+                       lambda a, b: F.concat_ws(" ", a, b))
     sg = F.array_sort(grams)
     # max run length in the sorted array == max bigram multiplicity
     run_state = F.aggregate(
