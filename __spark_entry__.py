@@ -599,6 +599,28 @@ def _q_curation_pipeline(spark, sf_dir):
     return kept
 
 
+def _q_curation_quota(spark, sf_dir):
+    """The full curation chain a pretraining pipeline runs, composed:
+    2-copy crawl → WHATWG parse+extract → exact dedup on extracted
+    text (keep smallest url) → one-pass Gopher-style quality gate
+    (min length, duplicate-word ceiling, repeated-bigram ceiling,
+    language gate — quality_flags, zero-shuffle) → per-site quota
+    (skew-safe two-phase window, cap 5). Total exchanges: one for the
+    dedup groupBy and two bounded window shuffles — nothing else, at
+    any corpus size. DuckDB independently predicts the surviving
+    (site, url, rank) set from the closed-form expected text."""
+    from html_parser_spark.operators import sampling
+    pages = pages_df(spark, sf_dir, copies=2)
+    out = extract_pages(pages, with_spans=False).select("url", "text")
+    dedup = (out.groupBy(F.md5(F.col("text").cast("binary")).alias("k"))
+             .agg(F.min("url").alias("url"),
+                  F.first("text").alias("text")))
+    kept = (textstats.quality_flags(dedup).filter("keep")
+            .withColumn("site", sampling.site_of()))
+    return (sampling.quota_sample(kept, "site", 5, "url")
+            .select("site", F.col("url").alias("kept_url"), "rk"))
+
+
 def _q_crawl_window_stats(spark, sf_dir):
     """Tumbling-window crawl stats over warc_ts — the batch twin of
     the watermarked streaming aggregation (same function builds both;
@@ -798,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_ivf": _q_sim_ivf,
         "dedup_embedding": _q_dedup_embedding,
         "curation_pipeline": _q_curation_pipeline,
+        "curation_quota_pipeline": _q_curation_quota,
         "crawl_window_stats": _q_crawl_window_stats,
         "crawl_sessions": _q_crawl_sessions,
         "fragment_extract": _q_fragment_extract,
@@ -995,6 +1018,36 @@ SELECT q_id, neighbor_id, rank, cosine_r4 FROM r WHERE rank <= 5""",
         "curation_pipeline": f"""
 SELECT {URL_SQL} || '?c=0' AS kept_url
 FROM documents WHERE length({TEXT_SQL}) >= 200""",
+        "curation_quota_pipeline": f"""
+WITH t AS (SELECT doc_id, source, {TEXT_SQL} AS text FROM documents),
+     w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM t),
+     b AS (SELECT doc_id,
+                  unnest(list_transform(generate_series(1, len(ws) - 1),
+                                        i -> ws[i] || ' ' || ws[i + 1]))
+                    AS g
+           FROM w WHERE len(ws) >= 2),
+     c AS (SELECT doc_id, g, count(*) AS cnt FROM b GROUP BY ALL),
+     m AS (SELECT doc_id, max(cnt) AS top_bi FROM c GROUP BY doc_id),
+     sig AS (SELECT w.doc_id, w.source,
+                    len(ws)::bigint AS n_words,
+                    ((100 * (len(ws) - len(list_distinct(ws))))
+                     // len(ws))::bigint AS dup_pct,
+                    coalesce(m.top_bi, 0) AS top_bi,
+                    (100 * len(list_filter(ws,
+                        x -> list_contains({_STOP_SQL}, x)))
+                     >= {textstats.LANG_EN_THRESHOLD_PCT} * len(ws))
+                      AS is_en
+             FROM w LEFT JOIN m ON w.doc_id = m.doc_id),
+     k AS (SELECT doc_id, source FROM sig
+           WHERE n_words >= 20 AND dup_pct <= 40
+             AND top_bi <= 4 AND is_en),
+     r AS (SELECT source AS site, {URL_SQL} || '?c=0' AS kept_url
+           FROM k),
+     q AS (SELECT site, kept_url,
+                  (row_number() OVER (PARTITION BY site
+                                      ORDER BY kept_url))::bigint AS rk
+           FROM r)
+SELECT site, kept_url, rk FROM q WHERE rk <= 5""",
         "fragment_extract": """
 SELECT doc_id, replace(text, ' ', '') AS frag_text, true AS ok
 FROM documents""",

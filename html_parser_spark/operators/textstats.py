@@ -41,6 +41,40 @@ def token_stats(docs: DataFrame) -> DataFrame:
         n_sub.alias("n_subtokens"))
 
 
+def _bigrams(w):
+    """O(len) word bigrams: zip the array with its shift-by-one view."""
+    return F.zip_with(F.slice(w, 1, F.size(w) - 1),
+                      F.slice(w, 2, F.size(w) - 1),
+                      lambda a, b: F.concat_ws(" ", a, b))
+
+
+def _mode_count(arr):
+    """Occurrence count of the most frequent element — a run-length
+    scan over the SORTED array (pure HOFs, no explode/groupBy)."""
+    sg = F.array_sort(arr)
+    return F.aggregate(
+        sg,
+        F.struct(F.lit(None).cast("string").alias("prev"),
+                 F.lit(0).cast("long").alias("run"),
+                 F.lit(0).cast("long").alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))).alias("best")),
+        lambda acc: acc["best"])
+
+
+def _lang_pred(w):
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(w, lambda t: F.array_contains(sw, t)))
+    return F.when(100 * n_stop >= LANG_EN_THRESHOLD_PCT * F.size(w),
+                  F.lit("en")).otherwise(F.lit("unk"))
+
+
 def repetition_stats(docs: DataFrame) -> DataFrame:
     """Gopher-style repetition quality features, ZERO shuffle.
 
@@ -62,26 +96,8 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     w = F.split(F.col("text"), " ")
     n_words = F.size(w).cast("long")
     n_distinct = F.size(F.array_distinct(w)).cast("long")
-    # O(len) bigrams: zip the word array with its shift-by-one view
-    grams = F.zip_with(F.slice(w, 1, F.size(w) - 1),
-                       F.slice(w, 2, F.size(w) - 1),
-                       lambda a, b: F.concat_ws(" ", a, b))
-    sg = F.array_sort(grams)
-    # max run length in the sorted array == max bigram multiplicity
-    run_state = F.aggregate(
-        sg,
-        F.struct(F.lit(None).cast("string").alias("prev"),
-                 F.lit(0).cast("long").alias("run"),
-                 F.lit(0).cast("long").alias("best")),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-            .alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(x == acc["prev"], acc["run"] + 1)
-                .otherwise(F.lit(1))).alias("best")),
-        lambda acc: acc["best"])
+    grams = _bigrams(w)
+    run_state = _mode_count(grams)
     return (docs.filter(F.size(w) >= 2)
             .select(
                 "doc_id",
@@ -94,15 +110,40 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
                 .alias("n_distinct_bigrams")))
 
 
+def quality_flags(docs: DataFrame, min_words: int = 20,
+                  max_dup_word_pct: int = 40,
+                  max_top_bigram: int = 4,
+                  require_lang: str | None = "en") -> DataFrame:
+    """One-pass quality gate: every Gopher-ish signal as a column plus
+    a single ``keep`` boolean, appended to the input row — ZERO
+    shuffle (all higher-order-function expressions; no joins between
+    per-signal frames, which would each cost a corpus-wide Exchange).
+    Thresholds are the standard shape (min length, duplicate-word
+    ceiling, repeated-bigram ceiling, language gate); tune per corpus."""
+    w = F.split(F.col("text"), " ")
+    n_words = F.size(w).cast("long")
+    n_distinct = F.size(F.array_distinct(w)).cast("long")
+    dup_pct = F.floor(100 * (n_words - n_distinct) / n_words) \
+        .cast("long")
+    top_bi = F.when(n_words >= 2, _mode_count(_bigrams(w))) \
+        .otherwise(F.lit(0)).cast("long")
+    lang = _lang_pred(w)
+    keep = (n_words >= min_words) & (dup_pct <= max_dup_word_pct) \
+        & (top_bi <= max_top_bigram)
+    if require_lang is not None:
+        keep = keep & (lang == require_lang)
+    return (docs.withColumn("n_words", n_words)
+            .withColumn("dup_word_pct", dup_pct)
+            .withColumn("top_bigram_count", top_bi)
+            .withColumn("lang_pred", lang)
+            .withColumn("keep", keep))
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """(doc_id, lang_pred): 'en' if stopword tokens ≥ threshold% else
     'unk'. Integer comparison form keeps it oracle-exact."""
     w = F.split(F.col("text"), " ")
-    sw = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(w, lambda t: F.array_contains(sw, t)))
-    pred = F.when(100 * n_stop >= LANG_EN_THRESHOLD_PCT * F.size(w),
-                  F.lit("en")).otherwise(F.lit("unk"))
-    return docs.select("doc_id", pred.alias("lang_pred"))
+    return docs.select("doc_id", _lang_pred(w).alias("lang_pred"))
 
 
 def fingerprint(docs: DataFrame) -> DataFrame:

@@ -565,3 +565,20 @@ def test_quota_sample_matches_naive_window(spark):
                     F.row_number().over(naive_w).cast("long"))
                 .filter(F.col("rk") <= cap).collect())
             assert got == want, (cap, n_salt)
+
+
+def test_curation_quota_pipeline_exchange_budget(spark):
+    """The composed curation chain (extract → exact dedup → zero-
+    shuffle quality gate → two-phase quota) plans with EXACTLY three
+    hash exchanges: the dedup groupBy and the two bounded window
+    shuffles. The quality gate must not add joins/shuffles of its own
+    (it is a single withColumns pass)."""
+    import re as _re
+
+    import __spark_entry__ as e
+
+    out = e.queries()["curation_quota_pipeline"](spark, SF_DIR)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    keys = _re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(keys) == 3, plan
+    assert "Join" not in plan, plan
