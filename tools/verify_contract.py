@@ -65,6 +65,8 @@ def spark_arrow_classes(sdf) -> dict:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    if "/" not in sf_dir:  # accept bare "sf0.01"
+        sf_dir = f"/root/testdata/{sf_dir}"
     only = set(sys.argv[2:])
 
     import __spark_entry__ as e
