@@ -23,8 +23,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from html_parser_spark.functions.hashing import (
     BANDS, NUM_HASHES, P31, SIMHASH_BITS, duckdb_base_hash, minhash_term)
-from html_parser_spark.operators import (conformance, dedup, multimodal,
-                                          similarity, textstats)
+from html_parser_spark.operators import (conformance, dedup, lines,
+                                          multimodal, similarity, textstats)
 from html_parser_spark.operators.extract import (extract_error_positions,
                                                  extract_pages,
                                                  roundtrip_check)
@@ -779,6 +779,20 @@ def _q_fingerprint_winnow(spark, sf_dir):
     return textstats.winnow_fingerprints(_docs(spark, sf_dir))
 
 
+def _q_dedup_lines(spark, sf_dir):
+    """RefinedWeb-style line-level boilerplate removal composed with the
+    real parse kernel: pages → WHATWG parse → textContent → line doc
+    frequencies → strip lines shared by >2 documents. On this corpus
+    the stripped lines are exactly the cross-page boilerplate (the
+    'src=<source>&lang=<lang>' footer line shared by every page of a
+    source, the per-bucket extras markup text and the CJK blocks);
+    each page's unique 'Doc N' heading and body lines survive."""
+    extracted = (extract_pages(pages_df(spark, sf_dir), with_spans=False)
+                 .select("url", "text"))
+    return lines.line_dedup(extracted, key_col="url", text_col="text",
+                            max_doc_freq=2)
+
+
 _WINNOW_SQL = f"""
 WITH h AS (
   SELECT doc_id,
@@ -833,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "fingerprint_winnow": _q_fingerprint_winnow,
+        "dedup_lines": _q_dedup_lines,
     }
 
 
@@ -1128,4 +1143,18 @@ FROM w""",
 SELECT doc_id, md5(regexp_replace(trim(text), ' +', ' ', 'g')) AS fp
 FROM documents""",
         "fingerprint_winnow": _WINNOW_SQL,
+        "dedup_lines": f"""
+WITH t AS (SELECT {URL_SQL} AS url, {TEXT_SQL} AS text FROM documents),
+     s AS (SELECT url, string_split(text, chr(10)) AS ls FROM t),
+     i AS (SELECT url, ls, unnest(generate_series(1, len(ls))) AS pos
+           FROM s),
+     e AS (SELECT url, pos, ls[pos] AS line FROM i),
+     f AS (SELECT line, count(DISTINCT url) AS df FROM e GROUP BY line)
+SELECT e.url,
+       count(*)::bigint AS n_lines,
+       sum(CASE WHEN f.df > 2 THEN 1 ELSE 0 END)::bigint AS n_removed,
+       coalesce(string_agg(CASE WHEN f.df <= 2 THEN e.line END,
+                           chr(10) ORDER BY e.pos), '') AS clean_text
+FROM e JOIN f USING (line)
+GROUP BY e.url""",
     }

@@ -582,3 +582,49 @@ def test_curation_quota_pipeline_exchange_budget(spark):
     keys = _re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     assert len(keys) == 3, plan
     assert "Join" not in plan, plan
+
+
+def test_line_dedup_values_and_plan(spark):
+    """Line-level boilerplate removal: cross-doc duplicate lines (df >
+    max_doc_freq) vanish from every document, intra-doc repetition and
+    rare lines survive in original order, all-boilerplate docs emit the
+    '' sentinel (never NULL). Plan: banned set is broadcast — the line
+    table is never exchanged for the join (no SortMergeJoin), so the
+    whole job is freq-exchange + reassembly-exchange."""
+    from html_parser_spark.operators import lines as L
+
+    docs = spark.createDataFrame(
+        [("u1", "common\nalpha\nbravo"),
+         ("u2", "common\ncharlie"),
+         ("u3", "common\ndelta\nalpha"),
+         ("u4", "echo"),
+         ("u5", "zz"), ("u6", "zz"), ("u7", "zz"),
+         ("u8", "solo\nsolo\nsolo")],
+        ["url", "text"])
+    out = L.line_dedup(docs, max_doc_freq=2)
+    got = {r["url"]: (r["n_lines"], r["n_removed"], r["clean_text"])
+           for r in out.collect()}
+    assert got == {
+        "u1": (3, 1, "alpha\nbravo"),
+        "u2": (2, 1, "charlie"),
+        "u3": (3, 1, "delta\nalpha"),
+        "u4": (1, 0, "echo"),
+        "u5": (1, 1, ""), "u6": (1, 1, ""), "u7": (1, 1, ""),
+        "u8": (3, 0, "solo\nsolo\nsolo"),
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan, plan
+
+
+def test_line_dedup_roundtrip_when_no_duplicates(spark):
+    """With a frequency ceiling nothing crosses, clean_text is the
+    identity — pins the split/reassemble path (positions, separators)."""
+    from html_parser_spark.operators import lines as L
+
+    docs = spark.createDataFrame(
+        [("a", "x\ny\nz"), ("b", "x\nq")], ["url", "text"])
+    out = L.line_dedup(docs, max_doc_freq=10).collect()
+    got = {r["url"]: r["clean_text"] for r in out}
+    assert got == {"a": "x\ny\nz", "b": "x\nq"}
+    assert all(r["n_removed"] == 0 for r in out)
