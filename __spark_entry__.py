@@ -779,6 +779,12 @@ def _q_fingerprint_winnow(spark, sf_dir):
     return textstats.winnow_fingerprints(_docs(spark, sf_dir))
 
 
+def _q_quality_rarity(spark, sf_dir):
+    # corpus unigram rarity features (CCNet-perplexity stand-in);
+    # oracle recomputes via independent explode+GROUP BY+join SQL
+    return textstats.rarity_stats(_docs(spark, sf_dir))
+
+
 def _q_dedup_lines(spark, sf_dir):
     """RefinedWeb-style line-level boilerplate removal composed with the
     real parse kernel: pages → WHATWG parse → textContent → line doc
@@ -848,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "fingerprint_winnow": _q_fingerprint_winnow,
         "dedup_lines": _q_dedup_lines,
+        "quality_rarity": _q_quality_rarity,
     }
 
 
@@ -1157,4 +1164,15 @@ SELECT e.url,
                            chr(10) ORDER BY e.pos), '') AS clean_text
 FROM e JOIN f USING (line)
 GROUP BY e.url""",
+        "quality_rarity": """
+WITH wt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents),
+     c AS (SELECT w, count(*)::bigint AS cnt FROM wt GROUP BY w)
+SELECT doc_id,
+       count(*)::bigint AS n_words,
+       min(cnt)::bigint AS tf_min,
+       sum(cnt)::bigint AS tf_sum,
+       sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END)::bigint AS n_rare
+FROM wt JOIN c USING (w)
+GROUP BY doc_id""",
     }

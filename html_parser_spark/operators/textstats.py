@@ -139,6 +139,45 @@ def quality_flags(docs: DataFrame, min_words: int = 20,
             .withColumn("keep", keep))
 
 
+def rarity_stats(docs: DataFrame, rare_max_count: int = 2,
+                 broadcast_vocab: bool = False) -> DataFrame:
+    """Corpus unigram-frequency rarity features — the integer-exact
+    stand-in for a CCNet-style LM-perplexity quality filter (a real
+    KenLM scorer slots in as a pandas UDF over the same word stream;
+    these features are the distributed plumbing either way).
+
+    Returns (doc_id, n_words, tf_min, tf_sum, n_rare): per document,
+    the corpus-wide term frequency of its rarest word, the sum of its
+    words' corpus frequencies, and how many of its tokens occur at
+    most ``rare_max_count`` times corpus-wide. Gibberish / OCR noise
+    scores high ``n_rare`` and low ``tf_min``; template spam scores
+    the opposite tail — both are standard cut candidates.
+
+    Scale shape: exchange words once to count the vocabulary (two-phase
+    groupBy, map-side partial), then join the word stream back to the
+    counts. Default is the sort-merge equi-join on the token — honest
+    at web scale where the long-tail vocabulary (urls, typos) outgrows
+    the driver. ``broadcast_vocab=True`` is the fast path when the
+    vocabulary is bounded (code, curated corpora): the word stream is
+    then never exchanged for the join, leaving freq-exchange +
+    doc-reassembly-exchange, the same two-Exchange budget as
+    ``lines.line_dedup``. (The production middle ground — broadcast the
+    top-K head and treat misses as rare — changes results only at the
+    K boundary; kept out so the oracle stays exact.)"""
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    counts = words.groupBy("w").agg(F.count("*").cast("long").alias("cnt"))
+    if broadcast_vocab:
+        counts = F.broadcast(counts)
+    return (words.join(counts, "w")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_words"),
+                 F.min("cnt").cast("long").alias("tf_min"),
+                 F.sum("cnt").cast("long").alias("tf_sum"),
+                 F.sum(F.when(F.col("cnt") <= rare_max_count, 1)
+                       .otherwise(0)).cast("long").alias("n_rare")))
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """(doc_id, lang_pred): 'en' if stopword tokens ≥ threshold% else
     'unk'. Integer comparison form keeps it oracle-exact."""

@@ -628,3 +628,27 @@ def test_line_dedup_roundtrip_when_no_duplicates(spark):
     got = {r["url"]: r["clean_text"] for r in out}
     assert got == {"a": "x\ny\nz", "b": "x\nq"}
     assert all(r["n_removed"] == 0 for r in out)
+
+
+def test_rarity_stats_values_and_broadcast_plan(spark):
+    """Unigram rarity features match a Python recount; with
+    broadcast_vocab the word stream is never exchanged for the join."""
+    from collections import Counter
+
+    from html_parser_spark.operators import textstats
+
+    rows = [(1, "a b a c"), (2, "a d"), (3, "e e e")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    cnt = Counter(w for _, t in rows for w in t.split(" "))
+    out = textstats.rarity_stats(docs, broadcast_vocab=True)
+    got = {r["doc_id"]: (r["n_words"], r["tf_min"], r["tf_sum"],
+                         r["n_rare"]) for r in out.collect()}
+    for did, text in rows:
+        ws = text.split(" ")
+        exp = (len(ws), min(cnt[w] for w in ws),
+               sum(cnt[w] for w in ws),
+               sum(1 for w in ws if cnt[w] <= 2))
+        assert got[did] == exp, (did, got[did], exp)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
