@@ -779,6 +779,19 @@ def _q_fingerprint_winnow(spark, sf_dir):
     return textstats.winnow_fingerprints(_docs(spark, sf_dir))
 
 
+_MIX_RATES = {"en": 800_000, "zh": 500_000}
+_MIX_DEFAULT = 250_000
+
+
+def _q_sample_stratified(spark, sf_dir):
+    # deterministic data-mixing downsample by language (zero-shuffle
+    # md5-draw filter); oracle reproduces the draw bit-for-bit
+    from html_parser_spark.operators import sampling
+    return sampling.stratified_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        "lang", _MIX_RATES, _MIX_DEFAULT)
+
+
 def _q_quality_rarity(spark, sf_dir):
     # corpus unigram rarity features (CCNet-perplexity stand-in);
     # oracle recomputes via independent explode+GROUP BY+join SQL
@@ -855,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_winnow": _q_fingerprint_winnow,
         "dedup_lines": _q_dedup_lines,
         "quality_rarity": _q_quality_rarity,
+        "sample_stratified": _q_sample_stratified,
     }
 
 
@@ -1175,4 +1189,14 @@ SELECT doc_id,
        sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END)::bigint AS n_rare
 FROM wt JOIN c USING (w)
 GROUP BY doc_id""",
+        "sample_stratified": f"""
+WITH u AS (SELECT doc_id, lang,
+                  ({duckdb_base_hash("'smp:' || doc_id::varchar")}
+                   % 1000000) AS u_ppm
+           FROM documents)
+SELECT doc_id, lang, u_ppm::bigint AS u_ppm
+FROM u
+WHERE u_ppm < CASE lang {" ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIX_RATES.items()))}
+              ELSE {_MIX_DEFAULT} END""",
     }

@@ -1,4 +1,4 @@
-"""Per-domain quota sampling — crawl-diversity caps for curation.
+"""Sampling operators — crawl-diversity caps and data-mixing rates.
 
 Web corpora are violently skewed by host: a handful of domains
 (wikis, forums, mirrors) contribute most of the raw pages, and every
@@ -53,3 +53,36 @@ def quota_sample(df: DataFrame, key: str, cap: int,
     w2 = Window.partitionBy(F.col(key)).orderBy(F.col(order_col))
     return (pre.withColumn("rk", F.row_number().over(w2).cast("long"))
             .filter(F.col("rk") <= cap))
+
+
+SAMPLE_PPM_MOD = 1_000_000
+
+
+def stratified_sample(df: DataFrame, stratum_col: str,
+                      rates_ppm: dict[str, int], default_ppm: int,
+                      key_col: str = "doc_id",
+                      salt: str = "smp") -> DataFrame:
+    """Deterministic per-stratum downsampling — the data-mixing step
+    that turns a curated pool into a training mix ("keep 80% of en,
+    50% of zh, 25% of the rest").
+
+    Each row draws a uniform integer in [0, 1e6) from the md5 of its
+    key (``functions.hashing`` base hash, salted so the draw is
+    independent of every other md5 use in the pipeline) and survives
+    iff it falls below its stratum's parts-per-million rate. Pure
+    narrow filter: ZERO shuffle, no RNG state, reproducible across
+    runs/retries/cluster sizes — resubmitting a failed 100 TB job
+    yields byte-identical samples, and upping a rate strictly grows
+    the sample (nested samples, the property ad-hoc ``rand()``
+    sampling loses). Appends ``u_ppm`` (the draw) for auditability."""
+    from ..functions.hashing import spark_base_hash
+
+    u = F.pmod(
+        F.expr(spark_base_hash(
+            f"concat('{salt}:', cast({key_col} as string))")),
+        F.lit(SAMPLE_PPM_MOD))
+    rate = F.lit(default_ppm)
+    for k, v in sorted(rates_ppm.items()):
+        rate = F.when(F.col(stratum_col) == k, F.lit(v)).otherwise(rate)
+    return (df.withColumn("u_ppm", u.cast("long"))
+            .filter(F.col("u_ppm") < rate))

@@ -652,3 +652,31 @@ def test_rarity_stats_values_and_broadcast_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_stratified_sample_deterministic_nested_zero_shuffle(spark):
+    """Data-mixing sampler: zero Exchange in the plan, re-running gives
+    the identical sample, raising a rate strictly grows the sample
+    (nested property), and realized rates land near nominal."""
+    from html_parser_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(2000)],
+        ["doc_id", "lang"])
+    out = sampling.stratified_sample(docs, "lang", {"en": 500_000},
+                                     100_000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    ids1 = {r["doc_id"] for r in out.collect()}
+    ids2 = {r["doc_id"] for r in
+            sampling.stratified_sample(docs, "lang", {"en": 500_000},
+                                       100_000).collect()}
+    assert ids1 == ids2
+    bigger = {r["doc_id"] for r in
+              sampling.stratified_sample(docs, "lang", {"en": 700_000},
+                                         200_000).collect()}
+    assert ids1 < bigger
+    n_en = sum(1 for i in ids1 if i % 2 == 0)
+    n_de = len(ids1) - n_en
+    assert 400 <= n_en <= 600      # 1000 × 50% ± 10pp
+    assert 50 <= n_de <= 150       # 1000 × 10% ± 5pp
