@@ -779,6 +779,33 @@ def _q_fingerprint_winnow(spark, sf_dir):
     return textstats.winnow_fingerprints(_docs(spark, sf_dir))
 
 
+def _q_url_dedup(spark, sf_dir):
+    """Crawl-frontier canonicalization: deterministically synthesize
+    the messy spellings a crawler actually sees (tracking params,
+    fragments, SHOUTING hosts, explicit :443) for a subset of pages,
+    then collapse them back with operators/urls.py. Every variant must
+    canonicalize onto its page's clean URL, so the output keys equal
+    the corpus URL set with n_variants = 1 + the indicator sum."""
+    from html_parser_spark.operators import urls
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://example.org/"), F.col("source"),
+                   F.lit("/doc"),
+                   F.lpad(d.cast("string"), 8, "0"), F.lit(".html"))
+    tail = F.substring(url, 20, 1_000_000)   # path incl. leading '/'
+    variants = F.array(
+        url,
+        F.when(d % 3 == 0, F.concat(url, F.lit("?utm_source=feed&utm_id="),
+                                    d.cast("string"))),
+        F.when(d % 5 == 0, F.concat(url, F.lit("#frag"))),
+        F.when(d % 7 == 0, F.concat(F.lit("HTTPS://EXAMPLE.ORG"), tail)),
+        F.when(d % 11 == 0, F.concat(F.lit("https://example.org:443"),
+                                     tail)))
+    raw = (_docs(spark, sf_dir)
+           .select(F.explode(F.filter(variants, lambda x: x.isNotNull()))
+                   .alias("url")))
+    return urls.url_dedup(raw)
+
+
 _MIX_RATES = {"en": 800_000, "zh": 500_000}
 _MIX_DEFAULT = 250_000
 
@@ -869,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": _q_dedup_lines,
         "quality_rarity": _q_quality_rarity,
         "sample_stratified": _q_sample_stratified,
+        "url_dedup": _q_url_dedup,
     }
 
 
@@ -1199,4 +1227,33 @@ FROM u
 WHERE u_ppm < CASE lang {" ".join(
     f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIX_RATES.items()))}
               ELSE {_MIX_DEFAULT} END""",
+        "url_dedup": f"""
+WITH base AS (SELECT doc_id, {URL_SQL} AS url FROM documents),
+     v AS (SELECT unnest(list_filter([
+               url,
+               CASE WHEN doc_id % 3 = 0
+                    THEN url || '?utm_source=feed&utm_id=' || doc_id END,
+               CASE WHEN doc_id % 5 = 0 THEN url || '#frag' END,
+               CASE WHEN doc_id % 7 = 0
+                    THEN 'HTTPS://EXAMPLE.ORG' || substring(url, 20) END,
+               CASE WHEN doc_id % 11 = 0
+                    THEN 'https://example.org:443' || substring(url, 20)
+               END], x -> x IS NOT NULL)) AS raw
+           FROM base),
+     c AS (SELECT raw,
+                  lower(regexp_extract(raw,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) AS sh
+           FROM v),
+     n AS (SELECT raw,
+                  regexp_replace(regexp_replace(sh,
+                      '^(https://[^/?#:]*):443$', '\\1'),
+                      '^(http://[^/?#:]*):80$', '\\1')
+                  || regexp_replace(substring(raw, length(sh) + 1),
+                                    '[?#].*$', '') AS canon
+           FROM c)
+SELECT canon AS url,
+       count(*)::bigint AS n_variants,
+       count(DISTINCT raw)::bigint AS n_distinct_raw,
+       min(raw) AS first_raw
+FROM n GROUP BY canon""",
     }

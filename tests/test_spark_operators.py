@@ -680,3 +680,30 @@ def test_stratified_sample_deterministic_nested_zero_shuffle(spark):
     n_de = len(ids1) - n_en
     assert 400 <= n_en <= 600      # 1000 × 50% ± 10pp
     assert 50 <= n_de <= 150       # 1000 × 10% ± 5pp
+
+
+def test_url_canonicalize_rules_and_single_exchange(spark):
+    """Each normalization rule lands exactly; dedup is one exchange on
+    the canonical key (map-side combined groupBy, no join)."""
+    from html_parser_spark.operators import urls
+
+    cases = [
+        ("HTTPS://WWW.Example.ORG/A/B.html", "https://www.example.org/A/B.html"),
+        ("https://example.org:443/x", "https://example.org/x"),
+        ("http://example.org:80/x", "http://example.org/x"),
+        ("http://example.org:8080/x", "http://example.org:8080/x"),
+        ("https://example.org/x?utm=1&b=2", "https://example.org/x"),
+        ("https://example.org/x#frag", "https://example.org/x"),
+        ("https://example.org/x?q=1#f", "https://example.org/x"),
+        ("HTTP://H.IO/Path?Q#F", "http://h.io/Path"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], ["url"])
+    got = df.select(urls.canonicalize(F.col("url")).alias("c")).collect()
+    assert [r["c"] for r in got] == [c for _, c in cases]
+
+    out = urls.url_dedup(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    # one logical exchange for the groupBy (countDistinct may plan a
+    # two-phase expand, still keyed on the canonical url only)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
