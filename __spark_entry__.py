@@ -779,6 +779,17 @@ def _q_fingerprint_winnow(spark, sf_dir):
     return textstats.winnow_fingerprints(_docs(spark, sf_dir))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Transitive duplicate-cluster resolution over the word-3-gram
+    Jaccard pairs: connected components (min-label propagation with
+    per-round localCheckpoint) → one kept representative per cluster.
+    Oracle computes the same fixpoint via a recursive-CTE transitive
+    closure — an independent algorithm pinning the semantics."""
+    from html_parser_spark.operators import clusters
+    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), n=3, min_pct=60)
+    return clusters.dedup_clusters(pairs)
+
+
 def _q_url_dedup(spark, sf_dir):
     """Crawl-frontier canonicalization: deterministically synthesize
     the messy spellings a crawler actually sees (tracking params,
@@ -897,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_rarity": _q_quality_rarity,
         "sample_stratified": _q_sample_stratified,
         "url_dedup": _q_url_dedup,
+        "dedup_clusters": _q_dedup_clusters,
     }
 
 
@@ -1256,4 +1268,25 @@ SELECT canon AS url,
        count(DISTINCT raw)::bigint AS n_distinct_raw,
        min(raw) AS first_raw
 FROM n GROUP BY canon""",
+        "dedup_clusters": f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT doc_a, doc_b
+          FROM inter JOIN sizes sa ON inter.doc_a = sa.doc_id
+                     JOIN sizes sb ON inter.doc_b = sb.doc_id
+          WHERE 100 * inter >= 60 * (sa.n_grams + sb.n_grams - inter)),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(u, r) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+    SELECT e.u, t.r FROM edges e JOIN reach t ON t.u = e.v),
+lab AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u)
+SELECT doc_id::bigint AS doc_id, cluster_id::bigint AS cluster_id,
+       (count(*) OVER (PARTITION BY cluster_id))::bigint AS cluster_size,
+       (doc_id = cluster_id) AS is_kept
+FROM lab""",
     }

@@ -707,3 +707,27 @@ def test_url_canonicalize_rules_and_single_exchange(spark):
     # one logical exchange for the groupBy (countDistinct may plan a
     # two-phase expand, still keyed on the canonical url only)
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_connected_components_transitivity_and_chains(spark):
+    """Cluster resolution is transitive (A~B, B~C groups A,C together
+    without a direct edge) and converges on a long chain (diameter >
+    one propagation round)."""
+    from html_parser_spark.operators import clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3),                      # star {1,2,3}
+         (10, 11), (11, 12), (12, 13), (13, 14),
+         (14, 15), (15, 16), (16, 17),        # chain {10..17}
+         (40, 41)],                           # pair {40,41}
+        ["doc_a", "doc_b"])
+    out = clusters.dedup_clusters(pairs).collect()
+    lab = {r["doc_id"]: r["cluster_id"] for r in out}
+    size = {r["doc_id"]: r["cluster_size"] for r in out}
+    kept = {r["doc_id"] for r in out if r["is_kept"]}
+    assert {lab[i] for i in (1, 2, 3)} == {1}
+    assert {lab[i] for i in range(10, 18)} == {10}
+    assert lab[40] == lab[41] == 40
+    assert size[1] == 3 and size[17] == 8 and size[40] == 2
+    assert kept == {1, 10, 40}
+    assert len(out) == 13
