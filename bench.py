@@ -98,7 +98,9 @@ def main() -> None:
                            ("dedup_simhash", 2), ("similarity_topk", 2),
                            ("similarity_ann_lsh", 2), ("text_stats", 2),
                            ("lang_id", 2), ("fingerprint", 2),
-                           ("repetition_stats", 2), ("domain_quota", 2)):
+                           ("repetition_stats", 2), ("domain_quota", 2),
+                           ("quality_rarity", 2), ("sample_stratified", 2),
+                           ("url_dedup", 2), ("dedup_clusters", 1)):
             queries[name] = time_query(qmap[name], spark, sf_dir, reps=reps)
         # multimodal: stage the synthetic media table first (same
         # methodology as pages — synthesis excluded from the timing),
@@ -121,6 +123,13 @@ def main() -> None:
         queries["dedup_jaccard_1k_capped"] = time_query(
             lambda *_: jaccard_pairs(docs1k, max_doc_freq=20), None,
             reps=2)
+        # line-level dedup timed on the extraction output already staged
+        # by the headline job (parse cost excluded — this measures the
+        # boilerplate-line removal stage alone on real extracted text)
+        from html_parser_spark.operators.lines import line_dedup
+        extracted = spark.read.parquet(f"{tmp}/out").select("url", "text")
+        queries["dedup_lines_stage"] = time_query(
+            lambda *_: line_dedup(extracted), None, reps=2)
 
         out = {
             "metric": "extract_wall_sec",
