@@ -784,9 +784,17 @@ def _q_dedup_clusters(spark, sf_dir):
     Jaccard pairs: connected components (min-label propagation with
     per-round localCheckpoint) → one kept representative per cluster.
     Oracle computes the same fixpoint via a recursive-CTE transitive
-    closure — an independent algorithm pinning the semantics."""
+    closure — an independent algorithm pinning the semantics.
+
+    Pairs come from the *capped* inverted index (max_doc_freq=20):
+    the production config, where boilerplate shingles leave the index
+    before the self-join so no join key fans out beyond 20² pairs —
+    at sf0.1 the uncapped pair generation alone costs ~12 s while the
+    propagation rounds are ~1 s each, so the cap is where the scale
+    story lives."""
     from html_parser_spark.operators import clusters
-    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), n=3, min_pct=60)
+    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), n=3, min_pct=60,
+                                max_doc_freq=20)
     return clusters.dedup_clusters(pairs)
 
 
@@ -1270,9 +1278,11 @@ SELECT canon AS url,
 FROM n GROUP BY canon""",
         "dedup_clusters": f"""
 WITH RECURSIVE {_SHINGLE_CTE},
-sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+keep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 20),
+gc AS (SELECT g.doc_id, g.gram FROM g JOIN keep USING (gram)),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM gc GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          FROM gc a JOIN gc b ON a.gram = b.gram AND a.doc_id < b.doc_id
           GROUP BY 1, 2),
 pairs AS (SELECT doc_a, doc_b
           FROM inter JOIN sizes sa ON inter.doc_a = sa.doc_id

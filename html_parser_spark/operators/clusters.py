@@ -45,8 +45,11 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     large-star/small-star before raising the cap)."""
     e = pairs.select(F.col(src).cast("long").alias("u"),
                      F.col(dst).cast("long").alias("v"))
+    # materialize the symmetrized edge list ONCE — it is re-joined every
+    # propagation round, and without the checkpoint each round would
+    # re-run the (possibly expensive) upstream pair generation
     sym = (e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-           .distinct())
+           .distinct().localCheckpoint())
     lab = (sym.groupBy("u")
            .agg(F.least(F.col("u"), F.min("v")).alias("lab"))
            .localCheckpoint())
