@@ -68,7 +68,7 @@ TEXT_SQL = (f"('Doc ' || doc_id || chr(10) || "
 # always stripped (its leading "\n" text node survives). Keep in
 # lockstep with engine/extractor.py::BOILERPLATE_TAGS.
 _MAIN_EXTRA = {1: EXTRAS[1][1], 2: "L1\nL2", 3: EXTRAS[3][1], 4: "",
-               5: "", 6: EXTRAS[6][1], 7: EXTRAS[7][1]}
+               5: "", 6: EXTRAS[6][1], 7: EXTRAS[7][1], 8: ""}
 _MAIN_EXTRA_SQL = ("(CASE doc_id % 23 " + " ".join(
     f"WHEN {k} THEN chr(10) || {_sql_str(v)}"
     for k, v in sorted(_MAIN_EXTRA.items())) + " ELSE '' END)")
@@ -76,7 +76,7 @@ MAIN_TEXT_SQL = (f"('Doc ' || doc_id || chr(10) || "
                  f"repeat(text || chr(10), {REP_SQL} - 1) || text || chr(10)"
                  f" || {_MAIN_EXTRA_SQL} || {_CJK_TEXT_SQL})")
 N_DROPPED_SQL = ("(1 + CASE doc_id % 23 WHEN 2 THEN 3 WHEN 4 THEN 2 "
-                 "ELSE 0 END)::bigint")
+                 "WHEN 8 THEN 1 ELSE 0 END)::bigint")
 ENC_SQL = ("(CASE doc_id % 10 " + " ".join(
     f"WHEN {i} THEN '{e}'" for i, e in enumerate(REPORTED_ENCODING))
     + " END)")
@@ -105,7 +105,7 @@ N_ELEMENTS_SQL = f"""(
   6 + (CASE WHEN doc_id % 10 IN (0, 2, 5, 6, 8, 9) THEN 1 ELSE 0 END)
   + (CASE WHEN doc_id % 10 IN (8, 9) THEN 1 ELSE 0 END)
   + (CASE doc_id % 23 WHEN 1 THEN 6 WHEN 2 THEN 4 WHEN 3 THEN 1
-          WHEN 4 THEN 5 WHEN 6 THEN 1 WHEN 7 THEN 8 ELSE 0 END)
+          WHEN 4 THEN 5 WHEN 6 THEN 1 WHEN 7 THEN 8 WHEN 8 THEN 4 ELSE 0 END)
   + (CASE WHEN doc_id % 7 = 3 AND len(string_split(text, ' ')) >= 3 THEN 4
           WHEN doc_id % 5 = 0 AND len(string_split(text, ' ')) >= 3 THEN 3
           ELSE 1 END) * {REP_SQL}
@@ -384,6 +384,24 @@ def _q_extract_main_content(spark, sf_dir):
     all 500 sf0.01 docs before the oracle was frozen (0 mismatches)."""
     from html_parser_spark.operators.extract import extract_main_content
     return extract_main_content(pages_df(spark, sf_dir))
+
+
+def _q_extract_links(spark, sf_dir):
+    """Anchor harvesting from the parsed DOM (operators/links.py):
+    one row per <a href> with the RFC3986-resolved target. Closed
+    form: exactly the bucket-8 docs carry a 3-anchor <nav> whose
+    targets are pure functions of doc_id (pages.link_targets);
+    cross-checked against the engine before the oracle was frozen."""
+    from html_parser_spark.operators.links import extract_links
+    return extract_links(pages_df(spark, sf_dir))
+
+
+def _q_link_hostgraph(spark, sf_dir):
+    """Host-level link graph over the canonical http(s) edges: the
+    mailto anchor is filtered, the messy-spelling anchor collapses to
+    its canonical host (lowercase, :443 stripped)."""
+    from html_parser_spark.operators.links import extract_links, host_graph
+    return host_graph(extract_links(pages_df(spark, sf_dir)))
 
 
 def _q_pdf_extract(spark, sf_dir):
@@ -881,6 +899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_failures": _q_extract_failures,
         "extract_error_positions": _q_extract_error_positions,
         "extract_main_content": _q_extract_main_content,
+        "extract_links": _q_extract_links,
+        "link_hostgraph": _q_link_hostgraph,
         "pdf_extract": _q_pdf_extract,
         "serializer_roundtrip": _q_roundtrip,
         "resume_antijoin": _q_resume_antijoin,
@@ -990,6 +1010,38 @@ SELECT {URL_SQL} AS url, {MAIN_TEXT_SQL} AS main_text,
        len({MAIN_TEXT_SQL})::bigint AS main_chars,
        len({TEXT_SQL})::bigint AS body_chars
 FROM documents""",
+        "extract_links": f"""
+WITH b AS (SELECT doc_id, source,
+                  lpad(((doc_id * 7 + 1) % 100000000)::varchar, 8, '0')
+                    AS nxt,
+                  (doc_id % 5)::varchar AS h, (doc_id % 13)::varchar AS q
+           FROM documents WHERE doc_id % 23 = 8)
+SELECT {URL_SQL} AS url, '/r/doc' || nxt || '.html' AS href,
+       'https://example.org/r/doc' || nxt || '.html' AS target,
+       'next' AS anchor
+FROM b
+UNION ALL
+SELECT {URL_SQL} AS url,
+       'HTTPS://Site' || h || '.Example.COM:443/t?q=' || q || '#frag'
+         AS href,
+       'https://Site' || h || '.Example.COM:443/t?q=' || q || '#frag'
+         AS target,
+       'ref' AS anchor
+FROM b
+UNION ALL
+SELECT {URL_SQL} AS url, 'mailto:crawl@example.org' AS href,
+       'mailto:crawl@example.org' AS target, 'contact' AS anchor
+FROM b""",
+        "link_hostgraph": """
+WITH b AS (SELECT doc_id % 5 AS h FROM documents WHERE doc_id % 23 = 8)
+SELECT 'example.org' AS src_host, 'example.org' AS dst_host,
+       count(*)::bigint AS n_links
+FROM b
+UNION ALL
+SELECT 'example.org' AS src_host,
+       'site' || h || '.example.com' AS dst_host,
+       count(*)::bigint AS n_links
+FROM b GROUP BY h""",
         "pdf_extract": f"""
 WITH g AS (
   SELECT doc_id, source,

@@ -1,0 +1,142 @@
+"""Outlink extraction + host-level link graph over the parsed DOM.
+
+The reference parses to a DOM and leaves link harvesting to the caller
+(its README's first example is exactly this: parse, then walk the
+document for elements — /root/reference/README.md:34-57); in a crawl
+pipeline the canonical consumers are frontier expansion, PageRank-style
+host graphs, and anchor-text harvesting. This operator surfaces
+``<a href>`` edges from the SAME parse kernel as text extraction, so a
+production job computes text + links in one pass over the html bytes.
+
+Kernel shape: the per-doc parse already runs in Python (the declared
+``mapInPandas`` kernel — operators/extract.py); anchor harvesting plus
+RFC 3986 reference resolution (stdlib ``urllib.parse.urljoin``) ride
+along at negligible marginal cost next to the parse itself. Everything
+downstream — scheme filtering, URL canonicalization, host extraction,
+the host-graph aggregation — is pure Catalyst.
+
+Scale notes (100 TB / 10^12 docs):
+
+- Output rows are (page url, raw href, resolved target, anchor text):
+  short strings, no page payload — the edge list is wide in rows but
+  narrow in bytes, and the html column never leaves the kernel.
+- ``max_links_per_doc`` hard-caps adversarial pages (a single document
+  with 10^7 anchors would otherwise fan one input row into GBs).
+- ``host_graph`` is a map-side-combined groupBy on two short host
+  keys; only (src_host, dst_host, partial count) rows shuffle. Skewed
+  hub hosts are exactly the AQE skew-agg case; no row explosion.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from urllib.parse import urljoin
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..engine import parse
+from ..engine.dom import HTML_NS, Document, DocumentFragment, Element, Text
+from ..engine.extractor import find_body, text_content
+from .urls import canonicalize
+
+LINKS_SCHEMA = "url string, href string, target string, anchor string"
+
+HOST_RE = "^[a-z][a-z0-9+.-]*://([^/?#]*)"
+
+
+def harvest_anchors(doc: Document,
+                    max_links: int = 10_000) -> list[tuple[str, str]]:
+    """(href, anchor textContent) for every HTML-namespace ``<a>`` with
+    an ``href`` attribute under body, in tree order (nested anchors are
+    impossible post-parse: an ``<a>`` start tag implicitly closes an
+    open one). Capped at ``max_links`` entries."""
+    body = find_body(doc)
+    if body is None:
+        return []
+    out: list[tuple[str, str]] = []
+    stack = [body]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, Element):
+            if n.namespace == HTML_NS and n.name == "a":
+                href = n.get("href")
+                if href is not None:
+                    out.append((href, text_content(n)))
+                    if len(out) >= max_links:
+                        return out
+            stack.extend(reversed(n.children))
+        elif isinstance(n, (Document, DocumentFragment)):
+            stack.extend(reversed(n.children))
+    return out
+
+
+def links_batch(pdf: pd.DataFrame, max_html_bytes: int,
+                max_links: int) -> pd.DataFrame:
+    """Parse one Arrow batch and explode it into anchor rows (pure
+    pandas-in/pandas-out; the parse never raises — a genuinely
+    unparseable row contributes zero link rows)."""
+    urls: list[str] = []
+    hrefs: list[str] = []
+    targets: list[str] = []
+    anchors: list[str] = []
+    for url, html in zip(pdf["url"], pdf["html"]):
+        raw = bytes(html) if html is not None else b""
+        if max_html_bytes and len(raw) > max_html_bytes:
+            raw = raw[:max_html_bytes]
+        try:
+            o = parse(raw)
+            pairs = harvest_anchors(o.document, max_links=max_links)
+        except Exception:  # never fail the task for one bad document
+            pairs = []
+        for href, anchor in pairs:
+            urls.append(url)
+            hrefs.append(href)
+            try:
+                targets.append(urljoin(url, href))
+            except ValueError:  # unresolvable href → raw passthrough
+                targets.append(href)
+            anchors.append(anchor)
+    return pd.DataFrame({"url": urls, "href": hrefs,
+                         "target": targets, "anchor": anchors})
+
+
+def extract_links(pages_df: DataFrame,
+                  max_html_bytes: int = 64 * 1024 * 1024,
+                  max_links_per_doc: int = 10_000) -> DataFrame:
+    """pages(url, html, ...) -> one row per ``<a href>``:
+    (url, href, target, anchor). ``target`` is the href resolved
+    against the page url (RFC 3986); all schemes pass through — apply
+    :func:`http_links` for the crawl-frontier subset. Column pruning:
+    only (url, html) reach the kernel."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gc
+        for pdf in batches:
+            yield links_batch(pdf, max_html_bytes, max_links_per_doc)
+            del pdf
+            gc.collect()
+
+    return pages_df.select("url", "html").mapInPandas(run, LINKS_SCHEMA)
+
+
+def http_links(links_df: DataFrame) -> DataFrame:
+    """Crawl-frontier subset: http(s) targets only, with the canonical
+    target (lowercased scheme+host, default port stripped, query and
+    fragment dropped — operators/urls.canonicalize) as ``canon``."""
+    return (links_df
+            .where(F.col("target").rlike("^https?://"))
+            .withColumn("canon", canonicalize(F.col("target"))))
+
+
+def host_graph(links_df: DataFrame) -> DataFrame:
+    """Host-level link graph: (src_host, dst_host, n_links) from the
+    http(s) edges. Hosts come from the CANONICAL urls, so spelling
+    variants of one host collapse to one node. One map-side-combined
+    exchange on the two short host keys."""
+    e = http_links(links_df)
+    src = F.regexp_extract(canonicalize(F.col("url")), HOST_RE, 1)
+    dst = F.regexp_extract(F.col("canon"), HOST_RE, 1)
+    return (e.groupBy(src.alias("src_host"), dst.alias("dst_host"))
+            .agg(F.count("*").cast("long").alias("n_links")))

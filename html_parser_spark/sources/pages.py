@@ -104,7 +104,33 @@ EXTRAS = {
     # nested tables (in-table within in-cell re-entry)
     7: ("<table><tr><td>o<table><tr><td>n</td></tr></table></td></tr>"
         "</table>", "on", False),
+    # deterministic outlinks (round 3): a <nav> of anchors whose targets
+    # are a pure function of doc_id, giving the link-extraction and
+    # host-graph operators (operators/links.py) a closed-form oracle.
+    # Markup is doc_id-dependent, so the first slot is None and
+    # build_page calls links_markup() instead; <nav> is BOILERPLATE
+    # (main-content drops the subtree). The second href deliberately
+    # arrives messy (SHOUTING host, explicit :443, query + fragment) to
+    # exercise operators/urls.canonicalize downstream; the third is
+    # non-http and must be filtered out by the operator.
+    8: (None, "next ref contact", False),
 }
+
+LINKS_BUCKET = 8
+
+
+def link_targets(doc_id: int) -> tuple[int, int, int]:
+    """(next-doc ordinal, host index, query ordinal) for the bucket-8
+    nav — mirrored in the extract_links / link_hostgraph oracle SQL in
+    __spark_entry__.py (keep in lockstep)."""
+    return (doc_id * 7 + 1) % 10**8, doc_id % 5, doc_id % 13
+
+
+def links_markup(doc_id: int) -> str:
+    nxt, h, q = link_targets(doc_id)
+    return (f'<nav><a href="/r/doc{nxt:08d}.html">next</a> '
+            f'<a href="HTTPS://Site{h}.Example.COM:443/t?q={q}#frag">ref</a>'
+            f' <a href="mailto:crawl@example.org">contact</a></nav>')
 
 _PAD = "x" * 1100  # pushes variant-6 meta past the 1024-byte prescan window
 
@@ -211,7 +237,12 @@ def build_page(doc_id: int, text: str, lang: str, source: str
 
     paras = "\n".join([_paragraph(doc_id, text)] * rep)
     extra = EXTRAS.get(doc_id % 23)
-    extra_markup = ("\n" + extra[0]) if extra is not None else ""
+    if extra is None:
+        extra_markup = ""
+    elif extra[0] is None:  # bucket 8: doc_id-dependent nav markup
+        extra_markup = "\n" + links_markup(doc_id)
+    else:
+        extra_markup = "\n" + extra[0]
     cjk = CJK_TEXT.get(variant)
     cjk_markup = f"\n<div>{cjk}</div>" if cjk is not None else ""
     body = (f"<body><h1>Doc {doc_id}</h1>\n{paras}\n"

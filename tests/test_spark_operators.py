@@ -731,3 +731,70 @@ def test_connected_components_transitivity_and_chains(spark):
     assert size[1] == 3 and size[17] == 8 and size[40] == 2
     assert kept == {1, 10, 40}
     assert len(out) == 13
+
+
+def test_harvest_anchors_units():
+    """DOM-level anchor harvesting: tree order, missing-href skip,
+    foreign-namespace <a> skip (an SVG <a> is not an html link), text
+    aggregation across nested children, and the per-doc cap."""
+    from html_parser_spark.engine import parse
+    from html_parser_spark.operators.links import harvest_anchors
+
+    o = parse(b"<!DOCTYPE html><body>"
+              b"<p><a href='/x'><b>bold</b> link</a></p>"
+              b"<a name='no-href'>skip</a>"
+              b"<svg><a href='/svg-a'>foreign</a></svg>"
+              b"<div><a href='http://h/y'>second</a></div>")
+    got = harvest_anchors(o.document)
+    assert got == [("/x", "bold link"), ("http://h/y", "second")]
+
+    o = parse(b"<!DOCTYPE html><body>" + b"<a href='/l'>t</a>" * 10)
+    assert len(harvest_anchors(o.document, max_links=4)) == 4
+
+
+def test_extract_links_closed_form_and_hostgraph(spark, pages):
+    """extract_links over the synthetic corpus matches the
+    pages.link_targets closed form doc-for-doc; host_graph collapses
+    the messy spelling to its canonical host, drops mailto, and plans
+    exactly one exchange (the groupBy) after the kernel."""
+    from html_parser_spark.operators.links import extract_links, host_graph
+    from html_parser_spark.sources.pages import LINKS_BUCKET, link_targets
+
+    links = extract_links(pages).cache()
+    rows = links.collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "source").collect()
+    b8 = {r["doc_id"]: r["source"] for r in docs
+          if r["doc_id"] % 23 == LINKS_BUCKET}
+    assert len(rows) == 3 * len(b8) and len(b8) > 0
+
+    by_url = {}
+    for r in rows:
+        by_url.setdefault(r["url"], []).append(r)
+    for doc_id, source in b8.items():
+        url = f"https://example.org/{source}/doc{doc_id:08d}.html"
+        nxt, h, q = link_targets(doc_id)
+        got = [(r["href"], r["target"], r["anchor"]) for r in by_url[url]]
+        assert got == [
+            (f"/r/doc{nxt:08d}.html",
+             f"https://example.org/r/doc{nxt:08d}.html", "next"),
+            (f"HTTPS://Site{h}.Example.COM:443/t?q={q}#frag",
+             f"https://Site{h}.Example.COM:443/t?q={q}#frag", "ref"),
+            ("mailto:crawl@example.org", "mailto:crawl@example.org",
+             "contact"),
+        ]
+
+    hg = host_graph(links)
+    got = {(r["src_host"], r["dst_host"]): r["n_links"]
+           for r in hg.collect()}
+    want = {("example.org", "example.org"): len(b8)}
+    for doc_id in b8:
+        k = ("example.org", f"site{doc_id % 5}.example.com")
+        want[k] = want.get(k, 0) + 1
+    assert got == want
+
+    # AQE prints Final + Initial plan sections; count the final one only
+    plan = hg._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Exchange hashpartitioning") == 1, plan
+    links.unpersist()
