@@ -404,6 +404,63 @@ def _q_link_hostgraph(spark, sf_dir):
     return host_graph(extract_links(pages_df(spark, sf_dir)))
 
 
+def _host_rank_sql(iters: int = 10, scale: int = 1_000_000,
+                   damping_ppm: int = 850_000) -> str:
+    """Unrolled K-iteration integer PageRank twin of operators/rank.py
+    (DuckDB has no iterative loops; one CTE per power iteration —
+    `//` floors, Spark's DIV truncates: identical on this non-negative
+    domain)."""
+    base = scale - damping_ppm
+    ctes = ["""
+b AS (SELECT doc_id % 5 AS h FROM documents WHERE doc_id % 23 = 8),
+edges AS (
+  SELECT 'example.org' AS src_host, 'example.org' AS dst_host,
+         count(*)::bigint AS n_links FROM b
+  UNION ALL
+  SELECT 'example.org', 'site' || h || '.example.com',
+         count(*)::bigint FROM b GROUP BY h),
+nodes AS (SELECT DISTINCT src_host AS host FROM edges
+          UNION SELECT DISTINCT dst_host FROM edges),
+ow AS (SELECT src_host, sum(n_links) AS out_w FROM edges
+       GROUP BY src_host),
+r0 AS (SELECT host, {scale}::bigint AS rank_ppm FROM nodes)""".format(
+        scale=scale)]
+    for i in range(1, iters + 1):
+        ctes.append(f"""
+r{i} AS (SELECT n.host,
+        ({base} + ({damping_ppm} * coalesce(t.s, 0)) // {scale})::bigint
+          AS rank_ppm
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst_host, sum((r.rank_ppm * e.n_links) // o.out_w) AS s
+        FROM edges e JOIN r{i - 1} r ON r.host = e.src_host
+                     JOIN ow o ON o.src_host = e.src_host
+        GROUP BY e.dst_host) t ON t.dst_host = n.host)""")
+    return ("WITH " + ",".join(ctes)
+            + f"\nSELECT host, rank_ppm FROM r{iters}")
+
+
+def _q_anchor_stats(spark, sf_dir):
+    """Anchor-text aggregation per canonical target (retrieval-training
+    anchor mining); count/distinct/min are exactly re-derivable from
+    the bucket-8 closed form (GROUP BY in the oracle keeps it correct
+    even if two docs' next-targets ever collide)."""
+    from html_parser_spark.operators.links import anchor_stats, extract_links
+    return anchor_stats(extract_links(pages_df(spark, sf_dir)))
+
+
+def _q_host_rank(spark, sf_dir):
+    """Weighted PageRank over the host graph, 10 synchronous power
+    iterations in ppm INTEGER fixed point — integer sums are exactly
+    associative, so the result is bit-identical across partitionings
+    and both engines (a float formulation could never be value-oracled;
+    Spark DIV truncates vs DuckDB // floors, identical on the
+    non-negative domain). Cross-checked against an independent pure-
+    Python PageRank before the oracle was frozen."""
+    from html_parser_spark.operators.links import extract_links, host_graph
+    from html_parser_spark.operators.rank import host_rank
+    return host_rank(host_graph(extract_links(pages_df(spark, sf_dir))))
+
+
 def _q_pdf_extract(spark, sf_dir):
     """North-rule "PDF/layout parse": real byte-level PDF text
     extraction (stdlib parser — object scan, FlateDecode, Tj/TJ/Td
@@ -901,6 +958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_main_content": _q_extract_main_content,
         "extract_links": _q_extract_links,
         "link_hostgraph": _q_link_hostgraph,
+        "anchor_stats": _q_anchor_stats,
+        "host_rank": _q_host_rank,
         "pdf_extract": _q_pdf_extract,
         "serializer_roundtrip": _q_roundtrip,
         "resume_antijoin": _q_resume_antijoin,
@@ -1042,6 +1101,22 @@ SELECT 'example.org' AS src_host,
        'site' || h || '.example.com' AS dst_host,
        count(*)::bigint AS n_links
 FROM b GROUP BY h""",
+        "anchor_stats": """
+WITH b AS (SELECT doc_id,
+                  lpad(((doc_id * 7 + 1) % 100000000)::varchar, 8, '0')
+                    AS nxt,
+                  (doc_id % 5)::varchar AS h
+           FROM documents WHERE doc_id % 23 = 8),
+u AS (SELECT 'https://example.org/r/doc' || nxt || '.html' AS target,
+             'next' AS anchor FROM b
+      UNION ALL
+      SELECT 'https://site' || h || '.example.com/t' AS target,
+             'ref' AS anchor FROM b)
+SELECT target, count(*)::bigint AS n_links,
+       count(DISTINCT anchor)::bigint AS n_anchors,
+       min(anchor) AS top_anchor
+FROM u GROUP BY target""",
+        "host_rank": _host_rank_sql(),
         "pdf_extract": f"""
 WITH g AS (
   SELECT doc_id, source,

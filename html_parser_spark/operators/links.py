@@ -130,6 +130,20 @@ def http_links(links_df: DataFrame) -> DataFrame:
             .withColumn("canon", canonicalize(F.col("target"))))
 
 
+def anchor_stats(links_df: DataFrame) -> DataFrame:
+    """Anchor-text aggregation per canonical target (anchor mining for
+    retrieval/QA training data: the text people use to link to a page
+    is a free relevance label). One map-side-combined exchange on the
+    canonical target; ``top_anchor`` is the lexicographic min so the
+    representative is deterministic (swap for ``max_by`` on a weight
+    column in a frequency-weighted variant — same plan)."""
+    e = http_links(links_df)
+    return (e.groupBy(F.col("canon").alias("target"))
+            .agg(F.count("*").cast("long").alias("n_links"),
+                 F.countDistinct("anchor").cast("long").alias("n_anchors"),
+                 F.min("anchor").alias("top_anchor")))
+
+
 def host_graph(links_df: DataFrame) -> DataFrame:
     """Host-level link graph: (src_host, dst_host, n_links) from the
     http(s) edges. Hosts come from the CANONICAL urls, so spelling
