@@ -461,6 +461,20 @@ def _q_host_rank(spark, sf_dir):
     return host_rank(host_graph(extract_links(pages_df(spark, sf_dir))))
 
 
+def _q_chunk_docs(spark, sf_dir):
+    """Fixed-window chunking (16-token windows, 4 overlap — small
+    enough that sf0.01 docs produce multi-chunk output): zero-shuffle
+    narrow map + generate."""
+    from html_parser_spark.operators.chunking import chunk_documents
+    return chunk_documents(_docs(spark, sf_dir), window=16, overlap=4)
+
+
+def _q_quality_classifier(spark, sf_dir):
+    """Hashing-trick linear classifier (model-based filter slot):
+    exact integer score over distinct tokens, zero shuffle."""
+    return textstats.quality_classifier(_docs(spark, sf_dir))
+
+
 def _q_pdf_extract(spark, sf_dir):
     """North-rule "PDF/layout parse": real byte-level PDF text
     extraction (stdlib parser — object scan, FlateDecode, Tj/TJ/Td
@@ -960,6 +974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hostgraph": _q_link_hostgraph,
         "anchor_stats": _q_anchor_stats,
         "host_rank": _q_host_rank,
+        "chunk_docs": _q_chunk_docs,
+        "quality_classifier": _q_quality_classifier,
         "pdf_extract": _q_pdf_extract,
         "serializer_roundtrip": _q_roundtrip,
         "resume_antijoin": _q_resume_antijoin,
@@ -1117,6 +1133,23 @@ SELECT target, count(*)::bigint AS n_links,
        min(anchor) AS top_anchor
 FROM u GROUP BY target""",
         "host_rank": _host_rank_sql(),
+        "chunk_docs": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                  len(string_split(text, ' ')) AS n FROM documents),
+s AS (SELECT doc_id, ws,
+             unnest(generate_series(0, n - 1, 12)) AS st
+      FROM w WHERE n > 0)
+SELECT doc_id, (st // 12)::bigint AS chunk_id,
+       array_to_string(ws[st + 1 : st + 16], ' ') AS chunk,
+       len(ws[st + 1 : st + 16])::bigint AS n_chunk_tokens
+FROM s""",
+        "quality_classifier": f"""
+SELECT doc_id, score::bigint AS score, score >= 0 AS keep
+FROM (SELECT doc_id,
+             list_sum(list_transform(
+               list_distinct(string_split(text, ' ')),
+               t -> {duckdb_base_hash('t')} % 2001 - 1000)) AS score
+      FROM documents)""",
         "pdf_extract": f"""
 WITH g AS (
   SELECT doc_id, source,

@@ -243,3 +243,34 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
                        clean.alias("clean_text"),
                        n_emails.cast("long").alias("n_emails"),
                        n_phones.cast("long").alias("n_phones"))
+
+
+def quality_classifier(docs: DataFrame, n_weights_mod: int = 2001,
+                       threshold: int = 0) -> DataFrame:
+    """Hashing-trick linear quality classifier (the model-based filter
+    slot: CCNet's fastText LID / Llama's wiki-ref classifier sit here).
+    Each distinct token hashes to a signed integer weight via the
+    engine-portable md5 base hash (functions/hashing.py); the document
+    score is the exact integer sum over DISTINCT tokens and ``keep``
+    is a threshold cut.
+
+    The weights here are a deterministic md5-derived stand-in — a real
+    trained model drops in as a broadcast token→weight map (or a
+    pandas-UDF scorer for a non-linear one) with the SAME plan: this
+    operator's value is the zero-shuffle shape. Scoring is entirely
+    higher-order Catalyst expressions (split → array_distinct →
+    transform → aggregate): a narrow map over the docs table, no
+    explode, no shuffle, whole-stage codegen end to end. Integer sums
+    are exactly associative → bit-identical across partitionings and
+    engines (the float-logistic head of a real model would live in a
+    final select; the heavy lift — per-token lookup + reduce — is
+    shuffle-free either way)."""
+    from ..functions.hashing import spark_base_hash
+    half = (n_weights_mod - 1) // 2
+    score = F.expr(
+        f"aggregate(transform(array_distinct(split(text, ' ')), "
+        f"t -> {spark_base_hash('t')} % {n_weights_mod} - {half}), "
+        f"0L, (acc, x) -> acc + x)")
+    return docs.select(
+        "doc_id", score.cast("long").alias("score"),
+        (score >= F.lit(threshold)).alias("keep"))

@@ -831,3 +831,57 @@ def test_host_rank_matches_python_fixed_point(spark):
     again = {r["host"]: r["rank_ppm"]
              for r in host_rank(df, iters=5).collect()}
     assert again == py_pr(edges, 5)
+
+
+def test_chunking_invariants_and_zero_shuffle(spark):
+    """Chunk windows tile every document: dropping each chunk's leading
+    overlap and concatenating reconstructs the original token stream;
+    all chunks are full-width except the tail; the plan has no
+    exchange (narrow map + generate only)."""
+    from html_parser_spark.operators.chunking import chunk_documents
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text").where(F.col("doc_id") < 100)
+    window, overlap, step = 16, 4, 12
+    out = chunk_documents(docs, window=window, overlap=overlap)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    chunks = {}
+    for r in out.collect():
+        chunks.setdefault(r["doc_id"], {})[r["chunk_id"]] = r
+    for row in docs.collect():
+        toks = row["text"].split(" ")
+        cs = chunks[row["doc_id"]]
+        ids = sorted(cs)
+        assert ids == list(range(len(ids)))
+        rebuilt = cs[0]["chunk"].split(" ")
+        for i in ids[1:]:
+            rebuilt += cs[i]["chunk"].split(" ")[overlap:]
+        assert rebuilt == toks, row["doc_id"]
+        for i in ids[:-1]:
+            if (i + 1) * step + window <= len(toks) + step:
+                assert cs[i]["n_chunk_tokens"] <= window
+        assert cs[ids[-1]]["n_chunk_tokens"] == len(toks) - ids[-1] * step \
+            or cs[ids[-1]]["n_chunk_tokens"] == window
+
+    with pytest.raises(ValueError):
+        chunk_documents(docs, window=8, overlap=8)
+
+
+def test_quality_classifier_exact_and_zero_shuffle(spark):
+    """Score equals the Python md5 twin summed over distinct tokens;
+    plan is exchange-free."""
+    from html_parser_spark.functions.hashing import base_hash_py
+    from html_parser_spark.operators import textstats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text").where(F.col("doc_id") < 50)
+    out = textstats.quality_classifier(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    got = {r["doc_id"]: (r["score"], r["keep"]) for r in out.collect()}
+    for row in docs.collect():
+        want = sum(base_hash_py(t) % 2001 - 1000
+                   for t in set(row["text"].split(" ")))
+        assert got[row["doc_id"]] == (want, want >= 0)
