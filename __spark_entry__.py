@@ -461,6 +461,16 @@ def _q_host_rank(spark, sf_dir):
     return host_rank(host_graph(extract_links(pages_df(spark, sf_dir))))
 
 
+def _q_frontier(spark, sf_dir):
+    """Crawl-frontier expansion: discovered canonical targets LEFT ANTI
+    crawled urls (none of the corpus's /r/ or site-host targets are
+    crawled, and the oracle re-derives that via its own anti-join
+    rather than assuming it)."""
+    from html_parser_spark.operators.links import extract_links, frontier
+    p = pages_df(spark, sf_dir)
+    return frontier(extract_links(p), p)
+
+
 def _q_chunk_docs(spark, sf_dir):
     """Fixed-window chunking (16-token windows, 4 overlap — small
     enough that sf0.01 docs produce multi-chunk output): zero-shuffle
@@ -974,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hostgraph": _q_link_hostgraph,
         "anchor_stats": _q_anchor_stats,
         "host_rank": _q_host_rank,
+        "frontier": _q_frontier,
         "chunk_docs": _q_chunk_docs,
         "quality_classifier": _q_quality_classifier,
         "pdf_extract": _q_pdf_extract,
@@ -1133,6 +1144,20 @@ SELECT target, count(*)::bigint AS n_links,
        min(anchor) AS top_anchor
 FROM u GROUP BY target""",
         "host_rank": _host_rank_sql(),
+        "frontier": f"""
+WITH b AS (SELECT doc_id,
+                  lpad(((doc_id * 7 + 1) % 100000000)::varchar, 8, '0')
+                    AS nxt,
+                  (doc_id % 5)::varchar AS h
+           FROM documents WHERE doc_id % 23 = 8),
+t AS (SELECT 'https://example.org/r/doc' || nxt || '.html' AS canon FROM b
+      UNION ALL
+      SELECT 'https://site' || h || '.example.com/t' FROM b),
+agg AS (SELECT canon, count(*)::bigint AS n_refs FROM t GROUP BY canon),
+seen AS (SELECT DISTINCT {URL_SQL} AS canon FROM documents)
+SELECT a.canon, a.n_refs
+FROM agg a LEFT JOIN seen s ON s.canon = a.canon
+WHERE s.canon IS NULL""",
         "chunk_docs": """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
                   len(string_split(text, ' ')) AS n FROM documents),

@@ -144,6 +144,20 @@ def anchor_stats(links_df: DataFrame) -> DataFrame:
                  F.min("anchor").alias("top_anchor")))
 
 
+def frontier(links_df: DataFrame, pages_df: DataFrame) -> DataFrame:
+    """Crawl-frontier expansion: canonical http(s) targets not already
+    crawled — one distinct + one LEFT ANTI join, both on the canonical
+    url key. The crawled side projects to its canonical key only, so
+    at 10^12 crawled pages the anti-join shuffles two narrow key
+    columns (or broadcasts, when the crawl seed is small); n_refs
+    gives the frontier its fetch-priority ordering for free."""
+    seen = pages_df.select(canonicalize(F.col("url")).alias("canon"))
+    return (http_links(links_df)
+            .groupBy("canon")
+            .agg(F.count("*").cast("long").alias("n_refs"))
+            .join(seen, "canon", "left_anti"))
+
+
 def host_graph(links_df: DataFrame) -> DataFrame:
     """Host-level link graph: (src_host, dst_host, n_links) from the
     http(s) edges. Hosts come from the CANONICAL urls, so spelling
