@@ -72,17 +72,20 @@ def harvest_anchors(doc: Document,
     return out
 
 
-def links_batch(pdf: pd.DataFrame, max_html_bytes: int,
-                max_links: int) -> pd.DataFrame:
+def links_batch(pdf: pd.DataFrame, max_html_bytes: int, max_links: int,
+                passthrough: tuple[str, ...] = ()) -> pd.DataFrame:
     """Parse one Arrow batch and explode it into anchor rows (pure
     pandas-in/pandas-out; the parse never raises — a genuinely
-    unparseable row contributes zero link rows)."""
+    unparseable row contributes zero link rows). ``passthrough``
+    columns are replicated onto each anchor row (e.g. the crawl
+    timestamp for streaming watermarks)."""
     urls: list[str] = []
     hrefs: list[str] = []
     targets: list[str] = []
     anchors: list[str] = []
-    for url, html in zip(pdf["url"], pdf["html"]):
-        raw = bytes(html) if html is not None else b""
+    extra: dict[str, list] = {c: [] for c in passthrough}
+    for row in pdf.itertuples(index=False):
+        raw = bytes(row.html) if row.html is not None else b""
         if max_html_bytes and len(raw) > max_html_bytes:
             raw = raw[:max_html_bytes]
         try:
@@ -91,34 +94,51 @@ def links_batch(pdf: pd.DataFrame, max_html_bytes: int,
         except Exception:  # never fail the task for one bad document
             pairs = []
         for href, anchor in pairs:
-            urls.append(url)
+            urls.append(row.url)
             hrefs.append(href)
             try:
-                targets.append(urljoin(url, href))
+                targets.append(urljoin(row.url, href))
             except ValueError:  # unresolvable href → raw passthrough
                 targets.append(href)
             anchors.append(anchor)
-    return pd.DataFrame({"url": urls, "href": hrefs,
-                         "target": targets, "anchor": anchors})
+            for c in passthrough:
+                extra[c].append(getattr(row, c))
+    out = {"url": urls, "href": hrefs, "target": targets,
+           "anchor": anchors}
+    # empty batches must keep the input dtype (a [] column defaults to
+    # float64, which Arrow refuses to cast to e.g. timestamp)
+    for c in passthrough:
+        out[c] = pd.Series(extra[c], dtype=pdf[c].dtype)
+    return pd.DataFrame(out)
 
 
 def extract_links(pages_df: DataFrame,
                   max_html_bytes: int = 64 * 1024 * 1024,
-                  max_links_per_doc: int = 10_000) -> DataFrame:
+                  max_links_per_doc: int = 10_000,
+                  passthrough_cols: tuple[str, ...] = ()) -> DataFrame:
     """pages(url, html, ...) -> one row per ``<a href>``:
-    (url, href, target, anchor). ``target`` is the href resolved
-    against the page url (RFC 3986); all schemes pass through — apply
-    :func:`http_links` for the crawl-frontier subset. Column pruning:
-    only (url, html) reach the kernel."""
+    (url, href, target, anchor[, passthrough...]). ``target`` is the
+    href resolved against the page url (RFC 3986); all schemes pass
+    through — apply :func:`http_links` for the crawl-frontier subset.
+    Column pruning: only (url, html) + ``passthrough_cols`` reach the
+    kernel."""
+    schema = LINKS_SCHEMA
+    if passthrough_cols:
+        by_name = {f.name: f for f in pages_df.schema.fields}
+        schema += "".join(
+            f", {c} {by_name[c].dataType.simpleString()}"
+            for c in passthrough_cols)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import gc
         for pdf in batches:
-            yield links_batch(pdf, max_html_bytes, max_links_per_doc)
+            yield links_batch(pdf, max_html_bytes, max_links_per_doc,
+                              passthrough_cols)
             del pdf
             gc.collect()
 
-    return pages_df.select("url", "html").mapInPandas(run, LINKS_SCHEMA)
+    cols = ("url", "html") + tuple(passthrough_cols)
+    return pages_df.select(*cols).mapInPandas(run, schema)
 
 
 def http_links(links_df: DataFrame) -> DataFrame:

@@ -71,3 +71,42 @@ def stream_extract_dedup(spark: SparkSession, source_dir: str,
                           available_now=available_now,
                           with_spans=with_spans,
                           dedup_watermark=watermark_delay)
+
+
+def stream_links(spark: SparkSession, source_dir: str, output_dir: str,
+                 checkpoint_dir: str, available_now: bool = True,
+                 max_files_per_trigger: int = 8,
+                 frontier_watermark: str | None = None):
+    """Streaming outlink discovery: the SAME harvest kernel as the
+    batch ``extract_links`` (stateless mapInPandas is streaming-safe)
+    over a checkpointed file source — a continuously-fed crawl drop
+    directory yields the http(s) edge list incrementally, exactly-once
+    across restarts.
+
+    ``frontier_watermark`` (e.g. ``"1 hour"``) turns the stream into
+    incremental frontier discovery: targets are deduplicated on their
+    CANONICAL url within the watermark window
+    (``dropDuplicatesWithinWatermark``), so each candidate is emitted
+    once per delay window no matter how many pages cite it, and the
+    dedup state is bounded by the window — not by crawl history (the
+    only state shape that survives an unbounded crawl; the global
+    have-we-crawled-it anti-join stays a batch join downstream,
+    exactly like operators/links.frontier)."""
+    from ..operators.links import extract_links, http_links
+
+    src = (spark.readStream
+           .schema(PAGES_SCHEMA)
+           .option("maxFilesPerTrigger", str(max_files_per_trigger))
+           .parquet(source_dir))
+    out = http_links(extract_links(src, passthrough_cols=("warc_ts",)))
+    if frontier_watermark is not None:
+        out = (out.withWatermark("warc_ts", frontier_watermark)
+               .dropDuplicatesWithinWatermark(["canon"]))
+    writer = (out.writeStream
+              .format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -310,3 +310,47 @@ def test_stream_extract_dedup_suppresses_in_window_duplicates(spark):
         assert j.count() == 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_links_equals_batch_and_frontier_dedup(spark):
+    """Streaming link discovery over two file drops equals the batch
+    edge list exactly-once; with the frontier watermark on, each
+    canonical target within one drain is emitted once."""
+    from html_parser_spark.operators.links import extract_links, http_links
+    from html_parser_spark.sources.pages import pages_df
+    from html_parser_spark.streaming import stream_links
+
+    tmp = tempfile.mkdtemp(prefix="hps_slinks_")
+    try:
+        pages = pages_df(spark, SF_DIR).cache()
+        half_a = pages.filter(F.crc32("url") % 2 == 0)
+        half_b = pages.filter(F.crc32("url") % 2 == 1)
+
+        half_a.repartition(4).write.parquet(f"{tmp}/src")
+        q = stream_links(spark, f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt")
+        q.awaitTermination(120)
+        half_b.repartition(4).write.mode("append").parquet(f"{tmp}/src")
+        q = stream_links(spark, f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt")
+        q.awaitTermination(120)
+
+        got = {(r["url"], r["href"], r["target"], r["anchor"])
+               for r in spark.read.parquet(f"{tmp}/out").collect()}
+        want_df = http_links(extract_links(pages))
+        want = {(r["url"], r["href"], r["target"], r["anchor"])
+                for r in want_df.collect()}
+        assert got == want and len(got) > 0
+        # exactly-once: no duplicate edge rows across the restart
+        n_rows = spark.read.parquet(f"{tmp}/out").count()
+        assert n_rows == len(got)
+
+        # frontier mode: one drain, canonical targets emitted once
+        q = stream_links(spark, f"{tmp}/src", f"{tmp}/fout",
+                         f"{tmp}/fckpt", frontier_watermark="1 hour")
+        q.awaitTermination(120)
+        front = spark.read.parquet(f"{tmp}/fout").select("canon")
+        assert front.count() == front.distinct().count()
+        batch_canon = {r["canon"] for r in want_df.select("canon")
+                       .distinct().collect()}
+        assert {r["canon"] for r in front.collect()} == batch_canon
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
