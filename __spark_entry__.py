@@ -414,8 +414,10 @@ def _host_rank_sql(iters: int = 10, scale: int = 1_000_000,
     ctes = ["""
 b AS (SELECT doc_id % 5 AS h FROM documents WHERE doc_id % 23 = 8),
 edges AS (
-  SELECT 'example.org' AS src_host, 'example.org' AS dst_host,
-         count(*)::bigint AS n_links FROM b
+  SELECT src_host, dst_host, count(*)::bigint AS n_links
+  FROM (SELECT 'example.org' AS src_host, 'example.org' AS dst_host
+        FROM b)
+  GROUP BY src_host, dst_host
   UNION ALL
   SELECT 'example.org', 'site' || h || '.example.com',
          count(*)::bigint FROM b GROUP BY h),
@@ -1120,9 +1122,9 @@ SELECT {URL_SQL} AS url, 'mailto:crawl@example.org' AS href,
 FROM b""",
         "link_hostgraph": """
 WITH b AS (SELECT doc_id % 5 AS h FROM documents WHERE doc_id % 23 = 8)
-SELECT 'example.org' AS src_host, 'example.org' AS dst_host,
-       count(*)::bigint AS n_links
-FROM b
+SELECT src_host, dst_host, count(*)::bigint AS n_links
+FROM (SELECT 'example.org' AS src_host, 'example.org' AS dst_host FROM b)
+GROUP BY src_host, dst_host
 UNION ALL
 SELECT 'example.org' AS src_host,
        'site' || h || '.example.com' AS dst_host,
@@ -1162,7 +1164,7 @@ WHERE s.canon IS NULL""",
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
                   len(string_split(text, ' ')) AS n FROM documents),
 s AS (SELECT doc_id, ws,
-             unnest(generate_series(0, n - 1, 12)) AS st
+             unnest(generate_series(0, greatest(n - 1 - 4, 0), 12)) AS st
       FROM w WHERE n > 0)
 SELECT doc_id, (st // 12)::bigint AS chunk_id,
        array_to_string(ws[st + 1 : st + 16], ' ') AS chunk,

@@ -26,7 +26,13 @@ def chunk_documents(docs: DataFrame, window: int = 128,
     """(doc_id, chunk_id, chunk, n_chunk_tokens) — whitespace-token
     windows of ``window`` tokens every ``window - overlap`` tokens.
     Docs whose text splits to zero tokens emit nothing (the split of
-    an empty string is [''] — one token — so only NULL text drops)."""
+    an empty string is [''] — one token — so only NULL text drops).
+
+    Window starts stop at ``n - 1 - overlap`` (not ``n - 1``): a later
+    start would emit a tail chunk that is a pure subset of its
+    predecessor — every token already present — which for training
+    data is systematic duplication. The cap guarantees each chunk
+    after the first contributes at least one new token."""
     if not 0 <= overlap < window:
         raise ValueError("need 0 <= overlap < window")
     step = window - overlap
@@ -37,7 +43,10 @@ def chunk_documents(docs: DataFrame, window: int = 128,
             .select("doc_id",
                     F.posexplode(
                         F.transform(
-                            F.sequence(F.lit(0), F.col("n") - 1,
+                            F.sequence(F.lit(0),
+                                       F.greatest(
+                                           F.col("n") - 1 - overlap,
+                                           F.lit(0)),
                                        F.lit(step)),
                             lambda s: F.slice(F.col("toks"), s + 1,
                                               F.lit(window))))

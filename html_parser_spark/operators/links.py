@@ -43,7 +43,10 @@ from .urls import canonicalize
 
 LINKS_SCHEMA = "url string, href string, target string, anchor string"
 
-HOST_RE = "^[a-z][a-z0-9+.-]*://([^/?#]*)"
+# host = netloc minus userinfo and port: userinfo would let a page mint
+# fake graph nodes ("https://wikipedia.org@evil.com/"), and ports would
+# fragment one physical host's rank mass across nodes
+HOST_RE = "^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]*)"
 
 
 def harvest_anchors(doc: Document,
@@ -98,8 +101,8 @@ def links_batch(pdf: pd.DataFrame, max_html_bytes: int, max_links: int,
             hrefs.append(href)
             try:
                 targets.append(urljoin(row.url, href))
-            except ValueError:  # unresolvable href → raw passthrough
-                targets.append(href)
+            except Exception:  # unresolvable href / NULL base url —
+                targets.append(href)  # raw passthrough, never a task kill
             anchors.append(anchor)
             for c in passthrough:
                 extra[c].append(getattr(row, c))
@@ -131,11 +134,21 @@ def extract_links(pages_df: DataFrame,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import gc
-        for pdf in batches:
-            yield links_batch(pdf, max_html_bytes, max_links_per_doc,
-                              passthrough_cols)
-            del pdf
-            gc.collect()
+
+        # same GC discipline as operators/extract.py: the DOM has
+        # parent↔child cycles, so disable the cyclic collector during
+        # the parse loop and collect once per Arrow batch
+        gc_was_enabled = gc.isenabled()
+        gc.disable()
+        try:
+            for pdf in batches:
+                yield links_batch(pdf, max_html_bytes, max_links_per_doc,
+                                  passthrough_cols)
+                del pdf
+                gc.collect()
+        finally:
+            if gc_was_enabled:
+                gc.enable()
 
     cols = ("url", "html") + tuple(passthrough_cols)
     return pages_df.select(*cols).mapInPandas(run, schema)
@@ -145,8 +158,11 @@ def http_links(links_df: DataFrame) -> DataFrame:
     """Crawl-frontier subset: http(s) targets only, with the canonical
     target (lowercased scheme+host, default port stripped, query and
     fragment dropped — operators/urls.canonicalize) as ``canon``."""
+    # (?i): urljoin rewrites the href only when its scheme matches the
+    # base, so an absolute "HTTPS://…" href on an http page keeps its
+    # uppercase scheme — still a valid http(s) edge
     return (links_df
-            .where(F.col("target").rlike("^https?://"))
+            .where(F.col("target").rlike("(?i)^https?://"))
             .withColumn("canon", canonicalize(F.col("target"))))
 
 

@@ -64,19 +64,31 @@ def host_rank(edges: DataFrame, iters: int = 10,
     ranks = nodes.withColumn("rank_ppm", F.lit(SCALE).cast("long"))
     for _ in range(iters):
         # integer DIV (not `/`, which routes through DOUBLE) keeps every
-        # step exact; rank_ppm * w must stay < 2^63 — holds while mass
-        # concentration × max edge weight < ~10^12 in ppm fixed point
+        # step exact. (rank_ppm*w) DIV out_w is rearranged through the
+        # exact identity r*w DIV o = (r DIV o)*w + ((r%o)*w) DIV o so no
+        # intermediate exceeds max(rank_ppm, out_w²); exact-arithmetic
+        # safety therefore needs per-host out-weight < ~3×10^9
+        # (sqrt(2^63)) — beyond that, pre-scale edge weights by 2^k
+        # (documented contract; ratios preserved, still deterministic)
         contrib = (e.join(ranks.withColumnRenamed("host", "src_host"),
                           "src_host")
                    .select("dst_host",
-                           F.expr("(rank_ppm * w) DIV out_w").alias("c")))
+                           F.expr("(rank_ppm DIV out_w) * w + "
+                                  "((rank_ppm % out_w) * w) DIV out_w")
+                           .alias("c")))
         summed = contrib.groupBy("dst_host").agg(
             F.sum("c").cast("long").alias("s"))
+        # (d*s) DIV SCALE would overflow int64 once >~10^7 hosts' worth
+        # of rank mass lands on one hub (wikipedia-style in-degree); the
+        # exact identity d*(s DIV SCALE) + (d*(s%SCALE)) DIV SCALE keeps
+        # every intermediate below s itself — safe until total graph
+        # mass alone overflows (~10^13 hosts)
+        upd = (f"{base}L + {damping_ppm}L * (coalesce(s, 0L) DIV {SCALE}L)"
+               f" + ({damping_ppm}L * (coalesce(s, 0L) % {SCALE}L))"
+               f" DIV {SCALE}L")
         ranks = (nodes.join(summed,
                             nodes.host == summed.dst_host, "left")
                  .select("host",
-                         F.expr(f"{base}L + ({damping_ppm}L * "
-                                f"coalesce(s, 0L)) DIV {SCALE}L")
-                         .cast("long").alias("rank_ppm"))
+                         F.expr(upd).cast("long").alias("rank_ppm"))
                  .localCheckpoint(eager=False))
     return ranks

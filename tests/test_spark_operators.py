@@ -885,3 +885,25 @@ def test_quality_classifier_exact_and_zero_shuffle(spark):
         want = sum(base_hash_py(t) % 2001 - 1000
                    for t in set(row["text"].split(" ")))
         assert got[row["doc_id"]] == (want, want >= 0)
+
+
+def test_http_links_scheme_case_and_host_hardening(spark):
+    """Uppercase-scheme absolute hrefs survive the http(s) filter
+    (urljoin only rewrites when the scheme matches the base), and
+    graph hosts strip userinfo + non-default ports so a page cannot
+    mint fake nodes or fragment a host's rank mass."""
+    from html_parser_spark.operators.links import HOST_RE, http_links
+
+    rows = [
+        ("http://a.com/", "HTTPS://B.com/x", "HTTPS://B.com/x", "t"),
+        ("http://a.com/", "/y", "http://a.com/y", "t"),
+        ("http://a.com/", "mailto:z@q", "mailto:z@q", "t"),
+        ("http://a.com/", "u", "https://wikipedia.org@evil.com/u", "t"),
+        ("http://a.com/", "p", "https://b.com:8443/p", "t"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "href", "target", "anchor"])
+    got = http_links(df)
+    assert got.count() == 4  # only mailto dropped
+    hosts = {r["h"] for r in got.select(
+        F.regexp_extract(F.col("canon"), HOST_RE, 1).alias("h")).collect()}
+    assert hosts == {"b.com", "a.com", "evil.com"}
