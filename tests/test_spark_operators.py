@@ -907,3 +907,34 @@ def test_http_links_scheme_case_and_host_hardening(spark):
     hosts = {r["h"] for r in got.select(
         F.regexp_extract(F.col("canon"), HOST_RE, 1).alias("h")).collect()}
     assert hosts == {"b.com", "a.com", "evil.com"}
+
+
+def test_substring_dedup_planted_passages(spark):
+    """A 10-token passage shared by two docs is removed from both
+    (window coverage = exactly the passage, neighbors keep their
+    context tokens); a within-doc repeat is removed entirely; a unique
+    doc passes through untouched with zero counters."""
+    from html_parser_spark.operators.substrings import substring_dedup
+
+    passage = " ".join(f"p{i}" for i in range(10))
+    rep_half = " ".join(f"r{i}" for i in range(8))
+    rows = [
+        (1, "u1 u2 u3 " + passage + " tail1"),
+        (2, "v1 " + passage + " v2 v3"),
+        (3, "unique tokens only here never repeated anywhere at all x"),
+        (4, rep_half + " " + rep_half),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in substring_dedup(docs, k=8).collect()}
+
+    assert got[1]["clean_text"] == "u1 u2 u3 tail1"
+    assert got[1]["n_dup_tokens"] == 10
+    assert got[2]["clean_text"] == "v1 v2 v3"
+    assert got[2]["n_dup_tokens"] == 10
+    assert got[3]["clean_text"] == rows[2][1]
+    assert got[3]["n_matched_starts"] == 0 == got[3]["n_dup_tokens"]
+    assert got[4]["clean_text"] == "" and got[4]["n_dup_tokens"] == 16
+    # matched starts: docs 1/2 have the 3 in-passage windows; doc 4
+    # has both identical half-windows plus any internal overlaps
+    assert got[1]["n_matched_starts"] == 3 == got[2]["n_matched_starts"]
+    assert got[4]["n_matched_starts"] >= 2
