@@ -130,6 +130,24 @@ def main() -> None:
         extracted = spark.read.parquet(f"{tmp}/out").select("url", "text")
         queries["dedup_lines_stage"] = time_query(
             lambda *_: line_dedup(extracted), None, reps=2)
+        # round-3 third-pass operators: link harvesting over the staged
+        # pages (kernel-dominated), and the raw-table curation ops
+        from html_parser_spark.operators.links import (extract_links,
+                                                       host_graph)
+        # same skew plan as the headline job — without it the partition
+        # holding the rep-8000 giants serializes the whole pass
+        staged_pages = skew_isolate(spark.read.parquet(staged), cpus * 2)
+        queries["extract_links"] = time_query(
+            lambda *_: extract_links(staged_pages), None, reps=2)
+        links_staged = f"{tmp}/links"
+        extract_links(staged_pages).write.parquet(links_staged)
+        links_t = spark.read.parquet(links_staged)
+        queries["link_hostgraph_stage"] = time_query(
+            lambda *_: host_graph(links_t), None, reps=2)
+        for name, reps in (("dedup_substrings", 1), ("chunk_docs", 2),
+                           ("quality_classifier", 2)):
+            queries[name] = time_query(qmap[name], spark, sf_dir,
+                                       reps=reps)
 
         out = {
             "metric": "extract_wall_sec",
