@@ -22,7 +22,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from html_parser_spark.functions.hashing import (
-    BANDS, NUM_HASHES, P31, SIMHASH_BITS, duckdb_base_hash, minhash_term)
+    BANDS, NUM_HASHES, P31, SIMHASH_BITS, duckdb_base_hash,
+    duckdb_base_hash2, minhash_term)
 from html_parser_spark.operators import (conformance, dedup, lines,
                                           multimodal, similarity, textstats)
 from html_parser_spark.operators.extract import (extract_error_positions,
@@ -1159,11 +1160,12 @@ FROM u GROUP BY target""",
         "dedup_substrings": f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 g AS (SELECT doc_id, i - 1 AS pos,
-             {duckdb_base_hash("array_to_string(ws[i:i+7], ' ')")} AS h
+             {duckdb_base_hash("array_to_string(ws[i:i+7], ' ')")} AS h1,
+             {duckdb_base_hash2("array_to_string(ws[i:i+7], ' ')")} AS h2
       FROM w, LATERAL (SELECT unnest(generate_series(
                          1, greatest(len(ws) - 7, 0))) AS i) t),
-dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
-m AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+dup AS (SELECT h1, h2 FROM g GROUP BY h1, h2 HAVING count(*) >= 2),
+m AS (SELECT doc_id, pos FROM g JOIN dup USING (h1, h2)),
 st AS (SELECT doc_id, (list_sort(list(pos)))[1:256] AS starts,
               count(*)::bigint AS n_matched FROM m GROUP BY doc_id),
 f AS (SELECT w.doc_id, ws, coalesce(starts, []) AS starts,

@@ -55,3 +55,47 @@ def minhash_term(i: int, h_expr: str) -> str:
     """SQL text (valid in both engines): i-th universal hash of a base
     hash expression."""
     return f"(({MINHASH_A[i]} * (({h_expr}) % {P31}) + {MINHASH_B[i]}) % {P31})"
+
+
+def base_hash_col(col):
+    """Column form of ``base_hash(s)`` (md5 hex chars 1-15 → int64);
+    same recipe as spark_base_hash/duckdb_base_hash — keep all three
+    in lockstep."""
+    from pyspark.sql import functions as F
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15),
+                  16, 10).cast("long")
+
+
+def base_hash2_col(col):
+    """Second independent 60-bit hash: md5 hex chars 16-30. Pairing it
+    with ``base_hash_col`` gives 120-bit join keys for operators where
+    a truncated-hash collision would be DESTRUCTIVE (substring dedup
+    removes text on key equality) rather than merely a candidate to
+    verify."""
+    from pyspark.sql import functions as F
+    return F.conv(F.substring(F.md5(col.cast("binary")), 16, 15),
+                  16, 10).cast("long")
+
+
+DUCKDB_BASE_HASH2 = "(('0x' || substring(md5({expr}), 16, 15))::bigint)"
+
+
+def duckdb_base_hash2(expr: str) -> str:
+    """DuckDB twin of ``base_hash2_col``."""
+    return DUCKDB_BASE_HASH2.format(expr=expr)
+
+
+def gram_array_col(text_col, n: int):
+    """Column: array of space-joined word n-grams of ``text_col`` in
+    position order (index = 0-based start), empty below n tokens —
+    the O(len) zip_with construction shared by dedup.word_shingles and
+    substrings.substring_dedup (one copy, one set of semantics)."""
+    from pyspark.sql import functions as F
+    w = F.split(text_col, " ")
+    cnt = F.size(w) - (n - 1)
+    g = F.slice(w, 1, cnt)
+    for k in range(2, n + 1):
+        g = F.zip_with(g, F.slice(w, k, cnt),
+                       lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(F.size(w) >= n, g).otherwise(
+        F.expr("array()").cast("array<string>"))

@@ -52,16 +52,12 @@ def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     global distinct would hash-exchange every gram of every training
     document, exactly the whole-corpus shuffle callers like
     ``contamination_flags`` exist to avoid."""
-    w = F.split(F.col("text"), " ")
-    cnt = F.size(w) - (n - 1)
     # O(len) construction: zip n shifted views of the word array
     # (the transform+slice formulation re-slices per position — O(len²)
-    # per document, 3× slower measured at sf0.1)
-    g = F.slice(w, 1, cnt)
-    for k in range(2, n + 1):
-        g = F.zip_with(g, F.slice(w, k, cnt),
-                       lambda a, b: F.concat_ws(" ", a, b))
-    grams = F.when(F.size(w) >= n, g).otherwise(F.array())
+    # per document, 3× slower measured at sf0.1); one shared copy in
+    # functions.hashing so substrings.substring_dedup can't drift
+    from ..functions.hashing import gram_array_col
+    grams = gram_array_col(F.col("text"), n)
     return docs.select(
         "doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
 

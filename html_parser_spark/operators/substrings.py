@@ -5,60 +5,68 @@ Better") remove every substring of ≥50 tokens that occurs twice
 anywhere in the corpus, via a giant suffix array. The distributed
 equivalent used here: a position-tracked k-token shingle index —
 a substring of ≥k tokens occurs twice iff all of its length-k windows
-do, so marking every k-shingle whose hash occurs ≥2 times (within OR
+do, so marking every k-shingle whose key occurs ≥2 times (within OR
 across docs) and removing covered tokens deletes the same content with
 shingle-boundary granularity (up to k-1 boundary tokens of slack per
 span — the standard trade for making the problem embarrassingly
 groupable).
 
+**Collision hardening.** Removal is destructive, so the join key is
+TWO independent 60-bit md5 halves (120 bits total): at 2e13 corpus
+shingles the expected number of colliding pairs is ~1e-13 — no
+innocent text is deleted on a hash accident. (Candidate-generating
+operators like minhash keep single 60-bit keys; they verify later,
+this one acts.)
+
 Plan shape at 100 TB:
 
-- Shingle construction is the O(len) zip_with chain (shared with
-  dedup.word_shingles), hashed per position to 60-bit md5 ints —
-  zero shuffle, whole-stage codegen.
-- The global index is ONE exchange of (hash, doc_id, pos) rows —
-  ~16 bytes × total corpus tokens, i.e. cheaper than shuffling the
-  text itself — with map-side partial counts; duplicated hashes are a
-  tiny filtered subset joined back on the same hash partitioning.
+- Shingle construction is the O(len) zip_with chain
+  (functions.hashing.gram_array_col — shared with
+  dedup.word_shingles), hashed per position — zero shuffle.
+- The global index is ONE exchange of (h1, h2, doc_id, pos) rows —
+  ~24 bytes × total corpus tokens, still cheaper than shuffling the
+  text itself — with map-side partial counts; duplicated keys are a
+  tiny filtered subset joined back on the same partitioning.
 - Matched starts re-group per doc (second exchange, doc_id keys) and
   token coverage is a per-row HOF: token i is covered iff some
-  matched start lies in [i-k+1, i]. ``max_matches_per_doc`` caps the
-  per-row work (O(n_tokens × cap)); a pathological self-repeating doc
-  keeps its first ``cap`` duplicated spans and the counters report
-  the uncapped total, so nothing is silently hidden.
+  matched start lies in [i-k+1, i].
+- ``max_matches_per_doc`` caps the per-row coverage work at
+  O(n_tokens × cap). The cap bounds REMOVAL, not detection: coverage
+  and ``n_dup_tokens`` reflect only the first ``cap`` (sorted)
+  starts, while ``n_matched_starts`` is always the uncapped total —
+  so a capped doc is detectable (n_matched_starts > cap) and can be
+  routed to a second pass or dropped outright.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.hashing import base_hash2_col, base_hash_col, gram_array_col
+
 
 def substring_dedup(docs: DataFrame, k: int = 8,
                     max_matches_per_doc: int = 256) -> DataFrame:
     """(doc_id, n_matched_starts, n_dup_tokens, clean_text):
-    ``clean_text`` is the document with every token covered by a
-    corpus-duplicated k-token window removed; counters are exact and
-    uncapped (coverage uses the first ``max_matches_per_doc`` starts
-    — see module doc)."""
-    w = F.split(F.col("text"), " ")
-    cnt = F.size(w) - (k - 1)
-    g = F.slice(w, 1, cnt)
-    for i in range(2, k + 1):
-        g = F.zip_with(g, F.slice(w, i, cnt),
-                       lambda a, b: F.concat_ws(" ", a, b))
-    grams = F.when(F.size(w) >= k, g).otherwise(
-        F.expr("array()").cast("array<string>"))
-    hashes = F.transform(
-        grams, lambda s: F.conv(F.substring(F.md5(s.cast("binary")),
-                                            1, 15), 16, 10).cast("long"))
+    ``clean_text`` is the document with every token covered by one of
+    the first ``max_matches_per_doc`` corpus-duplicated k-token
+    windows removed; ``n_dup_tokens`` counts exactly those removed
+    tokens. ``n_matched_starts`` is the UNCAPPED duplicated-window
+    count — compare it against the cap to find docs whose removal was
+    truncated (see module doc)."""
+    grams = gram_array_col(F.col("text"), k)
+    keys = F.arrays_zip(
+        F.transform(grams, base_hash_col).alias("h1"),
+        F.transform(grams, base_hash2_col).alias("h2"))
 
-    pos = (docs.select("doc_id", F.posexplode(hashes)
-                       .alias("pos", "h")))
-    dup = (pos.groupBy("h")
+    pos = (docs.select("doc_id", F.posexplode(keys).alias("pos", "k"))
+           .select("doc_id", "pos", F.col("k.h1").alias("h1"),
+                   F.col("k.h2").alias("h2")))
+    dup = (pos.groupBy("h1", "h2")
            .agg(F.count("*").alias("cnt"))
            .where(F.col("cnt") >= 2)
-           .select("h"))
-    matched = pos.join(dup, "h").select("doc_id", "pos")
+           .select("h1", "h2"))
+    matched = pos.join(dup, ["h1", "h2"]).select("doc_id", "pos")
     starts = (matched.groupBy("doc_id")
               .agg(F.slice(F.array_sort(F.collect_list("pos")), 1,
                            max_matches_per_doc).alias("starts"),
