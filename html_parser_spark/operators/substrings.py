@@ -62,11 +62,17 @@ def substring_dedup(docs: DataFrame, k: int = 8,
     pos = (docs.select("doc_id", F.posexplode(keys).alias("pos", "k"))
            .select("doc_id", "pos", F.col("k.h1").alias("h1"),
                    F.col("k.h2").alias("h2")))
-    dup = (pos.groupBy("h1", "h2")
-           .agg(F.count("*").alias("cnt"))
-           .where(F.col("cnt") >= 2)
-           .select("h1", "h2"))
-    matched = pos.join(dup, ["h1", "h2"]).select("doc_id", "pos")
+    # duplicate detection as a COUNT window over the key partition:
+    # one exchange of the position table total. The groupBy+self-join
+    # formulation exchanges it twice (once into the agg, once into the
+    # join) because shingle keys are mostly unique, so map-side partial
+    # aggregation shrinks nothing — at corpus scale the second full
+    # exchange costs more than the window's in-partition sort.
+    from pyspark.sql import Window
+    wnd = Window.partitionBy("h1", "h2")
+    matched = (pos.withColumn("cnt", F.count("*").over(wnd))
+               .where(F.col("cnt") >= 2)
+               .select("doc_id", "pos"))
     starts = (matched.groupBy("doc_id")
               .agg(F.slice(F.array_sort(F.collect_list("pos")), 1,
                            max_matches_per_doc).alias("starts"),

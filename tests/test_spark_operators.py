@@ -925,7 +925,14 @@ def test_substring_dedup_planted_passages(spark):
         (4, rep_half + " " + rep_half),
     ]
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
-    got = {r["doc_id"]: r for r in substring_dedup(docs, k=8).collect()}
+    out = substring_dedup(docs, k=8)
+    # plan pin: the (h1,h2)-keyed position table is exchanged exactly
+    # ONCE (the count window) — the groupBy+self-join formulation
+    # exchanges it twice
+    final = out._jdf.queryExecution().executedPlan().toString() \
+        .split("Initial Plan")[0]
+    assert final.count("Exchange hashpartitioning(h1") == 1, final
+    got = {r["doc_id"]: r for r in out.collect()}
 
     assert got[1]["clean_text"] == "u1 u2 u3 tail1"
     assert got[1]["n_dup_tokens"] == 10
