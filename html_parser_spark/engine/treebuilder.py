@@ -2216,7 +2216,13 @@ class TreeBuilder:
                             or self._is_mathml_text_ip(cur) or self._is_html_ip(cur)):
                         break
                     self.stack.pop()
-                return token
+                # spec: reprocess "according to the ... current insertion
+                # mode in HTML content" — route straight to the mode
+                # handler, NOT back through the dispatcher: with a foreign
+                # fragment context the dispatcher consults the context
+                # element again (stack is just the root) and would loop
+                # forever (the spec's "fragment case")
+                return _MODE_HANDLERS[self.mode](self, token)
             acn = self.adjusted_current_node()
             ns = acn.namespace
             if ns == SVG_NS:
