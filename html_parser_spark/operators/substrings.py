@@ -42,7 +42,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.hashing import base_hash2_col, base_hash_col, gram_array_col
+from ..functions.hashing import gram_array_col
 
 
 def substring_dedup(docs: DataFrame, k: int = 8,
@@ -55,9 +55,17 @@ def substring_dedup(docs: DataFrame, k: int = 8,
     count — compare it against the cap to find docs whose removal was
     truncated (see module doc)."""
     grams = gram_array_col(F.col("text"), k)
-    keys = F.arrays_zip(
-        F.transform(grams, base_hash_col).alias("h1"),
-        F.transform(grams, base_hash2_col).alias("h2"))
+    # one md5 per gram, split into the two 60-bit halves (an
+    # arrays_zip of base_hash_col/base_hash2_col transforms would
+    # digest every gram twice)
+    md5s = F.transform(grams, lambda s: F.md5(s.cast("binary")))
+    keys = F.transform(
+        md5s,
+        lambda m: F.struct(
+            F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+            .alias("h1"),
+            F.conv(F.substring(m, 16, 15), 16, 10).cast("long")
+            .alias("h2")))
 
     pos = (docs.select("doc_id", F.posexplode(keys).alias("pos", "k"))
            .select("doc_id", "pos", F.col("k.h1").alias("h1"),
