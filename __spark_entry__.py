@@ -464,6 +464,21 @@ def _q_host_rank(spark, sf_dir):
     return host_rank(host_graph(extract_links(pages_df(spark, sf_dir))))
 
 
+def _q_extract_with_links(spark, sf_dir):
+    """The one-pass production kernel: text AND the outlink edge list
+    from a single parse of the html bytes (extract_pages
+    with_links=True). The contract projects deterministic scalars from
+    the links array (the driver's row sort cannot order struct
+    arrays): count + tree-order '|'-joined targets."""
+    out = extract_pages(pages_df(spark, sf_dir), with_spans=False,
+                        with_links=True)
+    return out.select(
+        "url", "text",
+        F.size("links").cast("long").alias("n_links"),
+        F.array_join(F.transform("links", lambda x: x["target"]), "|")
+        .alias("link_targets"))
+
+
 def _q_dedup_substrings(spark, sf_dir):
     """Exact duplicated-substring removal (suffix-array stand-in):
     corpus-duplicated 8-token windows are removed token-exactly.
@@ -996,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hostgraph": _q_link_hostgraph,
         "anchor_stats": _q_anchor_stats,
         "host_rank": _q_host_rank,
+        "extract_with_links": _q_extract_with_links,
         "dedup_substrings": _q_dedup_substrings,
         "frontier": _q_frontier,
         "chunk_docs": _q_chunk_docs,
@@ -1157,6 +1173,21 @@ SELECT target, count(*)::bigint AS n_links,
        min(anchor) AS top_anchor
 FROM u GROUP BY target""",
         "host_rank": _host_rank_sql(),
+        "extract_with_links": f"""
+WITH b AS (SELECT doc_id,
+                  lpad(((doc_id * 7 + 1) % 100000000)::varchar, 8, '0')
+                    AS nxt,
+                  (doc_id % 5)::varchar AS h, (doc_id % 13)::varchar AS q
+           FROM documents)
+SELECT {URL_SQL} AS url, {TEXT_SQL} AS text,
+       (CASE WHEN doc_id % 23 = 8 THEN 3 ELSE 0 END)::bigint AS n_links,
+       CASE WHEN doc_id % 23 = 8 THEN
+         'https://example.org/r/doc' || b.nxt || '.html'
+         || '|https://Site' || b.h || '.Example.COM:443/t?q=' || b.q
+         || '#frag'
+         || '|mailto:crawl@example.org'
+       ELSE '' END AS link_targets
+FROM documents JOIN b USING (doc_id)""",
         "dedup_substrings": f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 g AS (SELECT doc_id, i - 1 AS pos,

@@ -43,12 +43,17 @@ EXTRACT_SCHEMA = (
     "truncated boolean, part_id int, batch_seq long"
 )
 
+LINKS_COL_SCHEMA = ("links array<struct<href:string,target:string,"
+                    "anchor:string>>")
+
 
 def parse_extract_batch(pdf: pd.DataFrame, part_id: int, batch_seq: int,
                         max_html_bytes: int, max_spans: int,
                         with_spans: bool,
                         transport_col: str | None = None,
-                        preprocess=None) -> pd.DataFrame:
+                        preprocess=None,
+                        with_links: bool = False,
+                        max_links: int = 10_000) -> pd.DataFrame:
     """Parse+extract one Arrow batch (pure pandas-in/pandas-out).
     ``transport_col`` names an optional per-row Content-Type charset
     column (the crawl's HTTP header) fed into the sniff ladder as the
@@ -65,6 +70,11 @@ def parse_extract_batch(pdf: pd.DataFrame, part_id: int, batch_seq: int,
     out = {k: [] for k in ("url", "text", "spans", "encoding", "quirks_mode",
                            "n_errors", "n_tokens", "n_elements",
                            "html_bytes", "truncated")}
+    if with_links:
+        from urllib.parse import urljoin
+
+        from .links import harvest_anchors
+        out["links"] = []
     transports = (pdf[transport_col] if transport_col is not None
                   else [None] * len(pdf))
     for url, html, tc in zip(pdf["url"], pdf["html"], transports):
@@ -82,9 +92,15 @@ def parse_extract_batch(pdf: pd.DataFrame, part_id: int, batch_seq: int,
                 text, spans = extract_body_text(o.document), []
             enc, quirks, nerr = o.encoding, o.quirks_mode, len(o.errors)
             ntok, nel = o.n_tokens, o.n_elements
+            if with_links:
+                # links ride the SAME parse — one pass over the bytes
+                # yields text AND the edge list (operators/links.py
+                # documents the standalone variant)
+                pairs = harvest_anchors(o.document, max_links=max_links)
         except Exception:  # never fail the task for one bad document
             text, spans, enc, quirks, nerr = "", [], "error", 0, -1
             ntok = nel = 0
+            pairs = []
         out["url"].append(url)
         out["text"].append(text)
         out["spans"].append(
@@ -97,6 +113,16 @@ def parse_extract_batch(pdf: pd.DataFrame, part_id: int, batch_seq: int,
         out["n_elements"].append(nel)
         out["html_bytes"].append(len(raw))
         out["truncated"].append(truncated)
+        if with_links:
+            links = []
+            for href, anchor in pairs:
+                try:
+                    target = urljoin(url, href)
+                except Exception:
+                    target = href
+                links.append({"href": href, "target": target,
+                              "anchor": anchor})
+            out["links"].append(links)
     res = pd.DataFrame(out)
     res["part_id"] = part_id
     res["batch_seq"] = batch_seq
@@ -123,7 +149,8 @@ def bounded_zlib(max_bytes: int):
 def extract_pages(pages_df, max_html_bytes: int = 64 * 1024 * 1024,
                   max_spans: int = 10_000, with_spans: bool = True,
                   transport_col: str | None = None,
-                  preprocess=None):
+                  preprocess=None, with_links: bool = False,
+                  max_links: int = 10_000):
     """pages(url, html, ...) -> extraction output DataFrame.
 
     Column pruning: selects only (url, html) — plus the optional
@@ -148,14 +175,16 @@ def extract_pages(pages_df, max_html_bytes: int = 64 * 1024 * 1024,
             for seq, pdf in enumerate(batches):
                 yield parse_extract_batch(pdf, part_id, seq, max_html_bytes,
                                           max_spans, with_spans,
-                                          transport_col, preprocess)
+                                          transport_col, preprocess,
+                                          with_links, max_links)
                 gc.collect()
         finally:
             if gc_was_enabled:
                 gc.enable()
 
     cols = ["url", "html"] + ([transport_col] if transport_col else [])
-    return pages_df.select(*cols).mapInPandas(run, schema=EXTRACT_SCHEMA)
+    schema = EXTRACT_SCHEMA + (", " + LINKS_COL_SCHEMA if with_links else "")
+    return pages_df.select(*cols).mapInPandas(run, schema=schema)
 
 
 def roundtrip_check(pages_df):

@@ -183,3 +183,35 @@ def test_fuzz_element_stack_counts_invariant():
             assert recount == tb.stack.counts
             if tb.done:
                 break
+
+
+def test_fragment_context_fuzz_never_crashes():
+    """Fragment parse across a grid of context elements × structured
+    tag soup: no exception and no reprocess-loop divergence. Foreign
+    contexts are the regression surface for the round-3 breakout bug
+    (dispatcher consulted the off-stack context element forever)."""
+    from html_parser_spark.engine.parser import parse_fragment
+
+    contexts = [
+        "div", "p", "a", "b", "table", "caption", "colgroup", "tbody",
+        "tr", "td", "select", "option", "optgroup", "template", "html",
+        "head", "body", "frameset", "noframes", "script", "style",
+        "title", "textarea", "plaintext", "xmp", "iframe", "noscript",
+        "ruby", "form", "button",
+        "svg svg", "svg path", "svg title", "svg desc",
+        "svg foreignObject", "svg script",
+        "math math", "math mi", "math mtext", "math ms",
+        "math annotation-xml",
+    ]
+    rng = random.Random(1234)
+    soups = []
+    for _ in range(60):
+        soups.append(b"".join(rng.choice(_SNIPPETS)
+                              for _ in range(rng.randint(1, 12))))
+    # plus the known breakout family against every context
+    soups += [b"<p>x", b"<b>y</b>", b"<font color=red>z", b"<table><td>w",
+              b"<svg><p>q", b"<math><p>r"]
+    for ctx in contexts:
+        for soup in soups:
+            frag = parse_fragment(soup, ctx)
+            assert frag is not None
