@@ -876,6 +876,14 @@ def _q_text_stats(spark, sf_dir):
                     F.col("n_subtokens").cast("long").alias("n_subtokens"))
 
 
+def _q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary builder: top-200 tokens by total frequency
+    with doc frequency; deterministic (tf desc, token asc) tiebreak
+    makes the selected set unique, so the oracle's LIMIT picks the
+    identical rows."""
+    return textstats.vocab_topk(_docs(spark, sf_dir), k=200)
+
+
 def _q_repetition_stats(spark, sf_dir):
     # Gopher-style repetition features — zero-shuffle narrow map
     # (sorted-bigram run-length scan); the oracle recomputes the mode
@@ -1016,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier": _q_frontier,
         "chunk_docs": _q_chunk_docs,
         "quality_classifier": _q_quality_classifier,
+        "vocab_topk": _q_vocab_topk,
         "pdf_extract": _q_pdf_extract,
         "serializer_roundtrip": _q_roundtrip,
         "resume_antijoin": _q_resume_antijoin,
@@ -1241,6 +1250,14 @@ FROM (SELECT doc_id,
                list_distinct(string_split(text, ' ')),
                t -> {duckdb_base_hash('t')} % 2001 - 1000)) AS score
       FROM documents)""",
+        "vocab_topk": """
+SELECT token, count(*)::bigint AS tf,
+       count(DISTINCT doc_id)::bigint AS df
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents)
+GROUP BY token
+ORDER BY tf DESC, token
+LIMIT 200""",
         "pdf_extract": f"""
 WITH g AS (
   SELECT doc_id, source,

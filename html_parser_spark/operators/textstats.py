@@ -274,3 +274,22 @@ def quality_classifier(docs: DataFrame, n_weights_mod: int = 2001,
     return docs.select(
         "doc_id", score.cast("long").alias("score"),
         (score >= F.lit(threshold)).alias("keep"))
+
+
+def vocab_topk(docs: DataFrame, k: int = 200) -> DataFrame:
+    """Corpus vocabulary statistics (tokenizer-training input): top-k
+    tokens by total frequency with (tf, df). The shuffle is the
+    textbook map-side-combined word count — partial aggregation
+    collapses each partition to its local vocabulary before the
+    exchange, so shuffle volume is O(distinct tokens per partition),
+    not O(corpus tokens); the top-k is a TakeOrdered (no global sort
+    materialization). Deterministic tiebreak (tf desc, token asc) so
+    the selected set is unique under equal counts."""
+    toks = (docs.select("doc_id",
+                        F.explode(F.split(F.col("text"), " "))
+                        .alias("token")))
+    agg = (toks.groupBy("token")
+           .agg(F.count("*").cast("long").alias("tf"),
+                F.countDistinct("doc_id").cast("long").alias("df")))
+    return (agg.orderBy(F.col("tf").desc(), F.col("token"))
+            .limit(k))

@@ -945,3 +945,26 @@ def test_substring_dedup_planted_passages(spark):
     # has both identical half-windows plus any internal overlaps
     assert got[1]["n_matched_starts"] == 3 == got[2]["n_matched_starts"]
     assert got[4]["n_matched_starts"] >= 2
+
+
+def test_vocab_topk_values_and_take_ordered(spark):
+    """Counts match a Python recount; ties break deterministically;
+    the plan is a TakeOrdered (no global sort materialization)."""
+    from collections import Counter
+
+    from html_parser_spark.operators import textstats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text").where(F.col("doc_id") < 200)
+    out = textstats.vocab_topk(docs, k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+    tf, df = Counter(), Counter()
+    for r in docs.collect():
+        ws = r["text"].split(" ")
+        tf.update(ws)
+        df.update(set(ws))
+    want = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r["token"], r["tf"], r["df"]) for r in out.collect()]
+    assert [(t, c, df[t]) for t, c in want] == got
