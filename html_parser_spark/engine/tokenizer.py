@@ -145,6 +145,13 @@ class Tokenizer:
     def __init__(self, text: str, initial_state: int = DATA,
                  last_start_tag: str | None = None,
                  track_positions: bool = False):
+        # input-stream preprocessing (spec 13.2.3.5): CRLF/CR → LF.
+        # parse() already normalizes during decode, so this scan is a
+        # no-op there (idempotent); it makes the STANDALONE tokenizer
+        # spec-correct too — without it "<div a\r\nb=c>" kept a raw CR
+        # inside the attribute name (found by hand tokenizer batch 2)
+        if "\r" in text:
+            text = text.replace("\r\n", "\n").replace("\r", "\n")
         self.s = text
         self.n = len(text)
         self.pos = 0
