@@ -215,3 +215,29 @@ def test_fragment_context_fuzz_never_crashes():
         for soup in soups:
             frag = parse_fragment(soup, ctx)
             assert frag is not None
+
+
+def test_tokenizer_initial_state_fuzz_never_crashes():
+    """Structured soup across every html5lib initial tokenizer state ×
+    plausible lastStartTag values: no exception, and position tracking
+    stays in lockstep when enabled."""
+    from html_parser_spark.engine import tokenizer as tz
+
+    states = [tz.DATA, tz.RCDATA, tz.RAWTEXT, tz.SCRIPT_DATA,
+              tz.PLAINTEXT, tz.CDATA_SECTION]
+    last_tags = [None, "script", "style", "title", "textarea", "xmp"]
+    rng = random.Random(99)
+    soups = ["".join(rng.choice(_SNIPPETS).decode("latin-1")
+                     for _ in range(rng.randint(1, 14)))
+             for _ in range(40)]
+    soups += ["</script>", "</title>x", "-->", "]]>", "<!--<script>",
+              "</scr", "\x00\x00", "a\r\nb\rc"]
+    for state in states:
+        for lst in last_tags:
+            for s in soups:
+                t = tz.Tokenizer(s, initial_state=state,
+                                 last_start_tag=lst,
+                                 track_positions=True)
+                for _ in t.tokenize():
+                    pass
+                assert len(t.errors) == len(t.error_positions())
