@@ -278,18 +278,23 @@ def quality_classifier(docs: DataFrame, n_weights_mod: int = 2001,
 
 def vocab_topk(docs: DataFrame, k: int = 200) -> DataFrame:
     """Corpus vocabulary statistics (tokenizer-training input): top-k
-    tokens by total frequency with (tf, df). The shuffle is the
-    textbook map-side-combined word count — partial aggregation
-    collapses each partition to its local vocabulary before the
-    exchange, so shuffle volume is O(distinct tokens per partition),
-    not O(corpus tokens); the top-k is a TakeOrdered (no global sort
-    materialization). Deterministic tiebreak (tf desc, token asc) so
-    the selected set is unique under equal counts."""
+    tokens by total frequency with (tf, df). Two explicit aggregation
+    phases instead of groupBy+countDistinct: phase 1 keys on
+    (token, doc_id) with map-side combine — the exchange carries one
+    row per PER-PARTITION DISTINCT (token, doc_id) pair (the honest
+    bound: the sum of per-document vocabularies, not per-partition
+    vocabulary) and avoids the Expand node a countDistinct would plan;
+    phase 2 reduces to one row per token (tiny). The top-k is a
+    TakeOrdered (no global sort materialization); deterministic
+    tiebreak (tf desc, token asc) makes the selected set unique under
+    equal counts."""
     toks = (docs.select("doc_id",
                         F.explode(F.split(F.col("text"), " "))
                         .alias("token")))
-    agg = (toks.groupBy("token")
-           .agg(F.count("*").cast("long").alias("tf"),
-                F.countDistinct("doc_id").cast("long").alias("df")))
+    per_doc = (toks.groupBy("token", "doc_id")
+               .agg(F.count("*").alias("c")))
+    agg = (per_doc.groupBy("token")
+           .agg(F.sum("c").cast("long").alias("tf"),
+                F.count("*").cast("long").alias("df")))
     return (agg.orderBy(F.col("tf").desc(), F.col("token"))
             .limit(k))
