@@ -968,3 +968,18 @@ def test_vocab_topk_values_and_take_ordered(spark):
     want = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     got = [(r["token"], r["tf"], r["df"]) for r in out.collect()]
     assert [(t, c, df[t]) for t, c in want] == got
+
+
+def test_combined_kernel_links_equal_standalone(spark, pages):
+    """extract_pages(with_links=True)'s links column explodes to
+    exactly the standalone extract_links edge set — one parse pass,
+    same harvest."""
+    from html_parser_spark.operators.extract import extract_pages
+    from html_parser_spark.operators.links import extract_links
+
+    combined = (extract_pages(pages, with_spans=False, with_links=True)
+                .select("url", F.explode("links").alias("l"))
+                .select("url", "l.href", "l.target", "l.anchor"))
+    got = {tuple(r) for r in combined.collect()}
+    want = {tuple(r) for r in extract_links(pages).collect()}
+    assert got == want and len(got) > 0
