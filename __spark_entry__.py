@@ -1409,21 +1409,27 @@ WITH m AS (
   UNION ALL
   SELECT doc_id * 4 + 1, 'video' FROM documents WHERE doc_id % 3 = 0
   UNION ALL
-  SELECT doc_id * 4 + 2, 'audio' FROM documents WHERE doc_id % 5 = 0)
+  SELECT doc_id * 4 + 2, 'audio' FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id * 4 + 3, 'jpeg' FROM documents WHERE doc_id % 7 = 0)
 SELECT media_id, kind,
        (CASE kind WHEN 'image' THEN 16 + (media_id * 37) % 97
                   WHEN 'video' THEN 64 + (media_id * 37) % 449
+                  WHEN 'jpeg' THEN 32 + (media_id * 29) % 193
                   ELSE 8000 END)::bigint AS width,
        (CASE kind WHEN 'image' THEN 16 + (media_id * 91) % 61
                   WHEN 'video' THEN 64 + (media_id * 91) % 257
+                  WHEN 'jpeg' THEN 32 + (media_id * 67) % 129
                   ELSE 1 END)::bigint AS height,
        (CASE kind WHEN 'image' THEN 1
                   WHEN 'video' THEN 1 + media_id % 120
+                  WHEN 'jpeg' THEN 1
                   ELSE 500 + (media_id * 53) % 8000 END)::bigint AS n_frames,
        (CASE kind
           WHEN 'image' THEN
             (16 + (media_id * 91) % 61) * (17 + (media_id * 37) % 97) + 68
           WHEN 'video' THEN 20 + 166 * (1 + media_id % 120)
+          WHEN 'jpeg' THEN 358 + (media_id * 41) % 4000
           ELSE 544 + (media_id * 53) % 8000 END)::bigint AS payload_bytes,
        true AS ok
 FROM m""",

@@ -16,8 +16,11 @@ The codecs are REAL, stdlib-only format implementations:
   the data size and the fmt block. (Writer round-trips through the
   stdlib ``wave`` module in tests — an independent format check.)
 
-Formats that genuinely need external libraries (e.g. JPEG) stay
-honestly gated behind ``NotImplementedError``.
+- **JPEG**: structurally valid baseline JFIF files (SOI/APP0/DQT/
+  SOF0/DHT/SOS/entropy/EOI). The decoder walks the marker-segment
+  stream and reads real dimensions from the SOF frame header; full
+  pixel decode (Huffman+IDCT) stays honestly gated behind
+  ``decode_jpeg_pixels``'s ``NotImplementedError`` (needs Pillow).
 
 Because the level-0 zlib stream, the fixed-frame LZW stream and the
 PCM layout have deterministic sizes, every decoded field *and* the
@@ -65,6 +68,14 @@ def video_params(media_id: int) -> tuple[int, int, int]:
 
 def audio_samples(media_id: int) -> int:
     return 500 + (media_id * 53) % 8000
+
+
+def jpeg_dims(media_id: int) -> tuple[int, int]:
+    return 32 + (media_id * 29) % 193, 32 + (media_id * 67) % 129
+
+
+def jpeg_entropy_bytes(media_id: int) -> int:
+    return 200 + (media_id * 41) % 4000
 
 
 def _fill(seed: str, n: int) -> bytes:
@@ -168,6 +179,34 @@ def make_wav(media_id: int) -> bytes:
             + b"data" + struct.pack("<I", n) + data)
 
 
+def make_jpeg(media_id: int) -> bytes:
+    """Structurally valid baseline JFIF: SOI, APP0, DQT, SOF0 (real
+    dims), two DHTs, SOS, entropy bytes (0xFF-masked so no marker can
+    appear inside the scan), EOI. Size is closed-form: 158 fixed
+    scaffold + ``jpeg_entropy_bytes`` — mirrored by the decode
+    oracle."""
+    w, h = jpeg_dims(media_id)
+    n = jpeg_entropy_bytes(media_id)
+    entropy = bytes(0x7E if byte == 0xFF else byte
+                    for byte in _fill(f"jpg:{media_id}", n))
+    counts_one = bytes([0, 1] + [0] * 14)  # one 2-bit code
+    return (b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
+            + b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
+            + bytes([16]) * 64
+            + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
+            + b"\xff\xc4" + struct.pack(">H", 20) + b"\x00"
+            + counts_one + b"\x00"
+            + b"\xff\xc4" + struct.pack(">H", 20) + b"\x10"
+            + counts_one + b"\x00"
+            + b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00])
+            + bytes([0, 63, 0])
+            + entropy
+            + b"\xff\xd9")
+
+
 # ------------------------------------------------------------ decoders
 
 def decode_png(b: bytes) -> tuple[int, int, int]:
@@ -246,6 +285,50 @@ def decode_wav(b: bytes) -> tuple[int, int, int]:
     return rate, channels, n_samples
 
 
+def decode_jpeg(b: bytes) -> tuple[int, int, int]:
+    """Dims-only JPEG header parse: walk the marker-segment stream to
+    the first SOFn frame header and read its (width, height) — the
+    public JPEG/JFIF segment layout, no entropy decode. Returns
+    (width, height, 1). Full pixel decode stays gated behind
+    ``decode_jpeg_pixels`` (needs a Huffman+IDCT stack)."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("bad JPEG SOI")
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("desynchronized JPEG marker stream")
+        marker = b[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            pos += 2  # standalone markers carry no length field
+            continue
+        (seglen,) = struct.unpack(">H", b[pos + 2:pos + 4])
+        if seglen < 2:
+            raise ValueError("corrupt JPEG segment length")
+        # SOF0-3, 5-7, 9-11, 13-15 all share the frame-header layout
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack(">HH", b[pos + 5:pos + 9])
+            ncomp = b[pos + 9]
+            if not (w and h and ncomp):
+                raise ValueError("corrupt SOF dimensions")
+            return w, h, 1
+        if marker == 0xDA:
+            raise ValueError("SOS before any SOF frame header")
+        pos += 2 + seglen
+    raise ValueError("no SOF marker")
+
+
+def decode_jpeg_pixels(b: bytes):
+    """Honest scope gate: full JPEG pixel decode needs a Huffman+IDCT
+    implementation (Pillow — not in this container). Header dims are
+    available via ``decode_jpeg``."""
+    raise NotImplementedError(
+        "JPEG pixel decoding requires Pillow (not in this container); "
+        "use decode_jpeg for header dimensions")
+
+
 def _decode_one(payload: bytes) -> tuple[int, int, int]:
     """Dispatch on magic bytes → (width, height, n_frames) for visual
     media, (sample_rate, n_channels, n_samples) for audio."""
@@ -256,8 +339,7 @@ def _decode_one(payload: bytes) -> tuple[int, int, int]:
     if payload[:4] == b"RIFF":
         return decode_wav(payload)
     if payload[:2] == b"\xff\xd8":
-        raise NotImplementedError(
-            "JPEG decoding requires Pillow (not in this container)")
+        return decode_jpeg(payload)
     raise ValueError("unsupported media format")
 
 
@@ -325,7 +407,7 @@ def media_df_from_docs(spark, sf_dir: str):
     """Deterministic synthetic media table keyed off documents: every
     doc gets one PNG image (media_id = doc_id*4); every 3rd doc an
     animated-GIF video (doc_id*4 + 1); every 5th doc a WAV audio clip
-    (doc_id*4 + 2)."""
+    (doc_id*4 + 2); every 7th doc a baseline JPEG (doc_id*4 + 3)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -342,6 +424,10 @@ def media_df_from_docs(spark, sf_dir: str):
                 if did % 5 == 0:
                     mid = did * 4 + 2
                     rows.append((mid, "audio", make_wav(mid), 0, 0))
+                if did % 7 == 0:
+                    mid = did * 4 + 3
+                    w, h = jpeg_dims(mid)
+                    rows.append((mid, "jpeg", make_jpeg(mid), w, h))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "payload",
                                               "declared_w", "declared_h"])
 

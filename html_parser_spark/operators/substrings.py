@@ -89,14 +89,20 @@ def substring_dedup(docs: DataFrame, k: int = 8,
     out = docs.join(starts, "doc_id", "left")
     st = F.coalesce(F.col("starts"),
                     F.expr("array()").cast("array<int>"))
+    # tokenize ONCE in a separate projection: `toks` is referenced
+    # twice below (the filter and the size), and split over an MB-sized
+    # text is expensive enough that CollapseProject must not inline it
+    # into both call sites — a named non-cheap alias referenced more
+    # than once stays a single evaluation.
+    out = out.withColumn("toks", F.split(F.col("text"), " "))
     kept = F.filter(
-        F.split(F.col("text"), " "),
+        F.col("toks"),
         lambda t, i: ~F.exists(
             st, lambda s: (s <= i) & (i < s + F.lit(k))))
     return out.select(
         "doc_id",
         F.coalesce("n_matched_starts", F.lit(0).cast("long"))
         .alias("n_matched_starts"),
-        (F.size(F.split(F.col("text"), " ")) - F.size(kept))
+        (F.size(F.col("toks")) - F.size(kept))
         .cast("long").alias("n_dup_tokens"),
         F.array_join(kept, " ").alias("clean_text"))

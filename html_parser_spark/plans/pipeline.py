@@ -181,8 +181,26 @@ def run_extraction(spark: SparkSession, pages: DataFrame, output_path: str,
     report = run_report(committed.filter(F.col("run_id") == rid))
     report["run_id"] = rid
     report["wall_s"] = round(wall, 3)
-    report["table_docs"] = committed.count()
+    report["table_docs"] = _table_rows_from_metadata(output_path)
     return report
+
+
+def _table_rows_from_metadata(output_path: str) -> int:
+    """Whole-table row count from parquet footer metadata only — no
+    data scan. A ``committed.count()`` here would re-read the entire
+    output path per run, a hidden full pass over 10^12 committed rows.
+    Footers carry exact row counts (sum of row-group num_rows); on an
+    Iceberg catalog this becomes the current snapshot's
+    ``total-records`` summary property — same O(metadata) cost."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(output_path):
+        for name in files:
+            if name.endswith(".parquet"):
+                total += pq.ParquetFile(
+                    os.path.join(root, name)).metadata.num_rows
+    return total
 
 
 def run_report(out: DataFrame) -> dict:

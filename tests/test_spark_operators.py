@@ -188,6 +188,9 @@ def test_multimodal_decode_and_frames(spark):
         elif r["kind"] == "video":
             w, h, fr = multimodal.video_params(r["media_id"])
             assert (r["width"], r["height"], r["n_frames"]) == (w, h, fr)
+        elif r["kind"] == "jpeg":
+            w, h = multimodal.jpeg_dims(r["media_id"])
+            assert (r["width"], r["height"], r["n_frames"]) == (w, h, 1)
         else:
             n = multimodal.audio_samples(r["media_id"])
             assert (r["width"], r["height"], r["n_frames"]) == (8000, 1, n)
@@ -218,11 +221,30 @@ def test_multimodal_codecs_are_real():
         # GIF: frame count comes from walking real block structure
         g = mm.make_gif(mid)
         assert mm.decode_gif(g) == mm.video_params(mid)
-    # JPEG stays honestly gated; garbage is rejected not mis-decoded
-    with pytest.raises(NotImplementedError):
-        mm._decode_one(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+        # JPEG: dims come from a real SOF marker walk
+        j = mm.make_jpeg(mid)
+        w, h = mm.jpeg_dims(mid)
+        assert mm.decode_jpeg(j) == (w, h, 1)
+        assert len(j) == 158 + mm.jpeg_entropy_bytes(mid)
+    # JPEG: independent hand-built fixture (not via make_jpeg) — SOI,
+    # a skipped APP1, then a progressive SOF2 declaring 640x480
+    fixture = (b"\xff\xd8"
+               + b"\xff\xe1\x00\x04zz"                       # APP1 to skip
+               + b"\xff\xc2\x00\x11\x08" + (480).to_bytes(2, "big")
+               + (640).to_bytes(2, "big") + b"\x03"
+               + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    assert mm.decode_jpeg(fixture + b"\xff\xd9") == (640, 480, 1)
+    # tampered/garbage JPEG is rejected, not mis-decoded
+    with pytest.raises(ValueError):
+        mm.decode_jpeg(b"\xff\xd8\xff\xda\x00\x08" + b"\x00" * 8)  # SOS first
+    with pytest.raises(ValueError):  # desynchronized marker stream
+        mm.decode_jpeg(b"\xff\xd8\xff\xe0\x00\x10" + b"\x00" * 14
+                       + b"\x00\x00\x00\x00")
     with pytest.raises(ValueError):
         mm._decode_one(b"\x00" * 32)
+    # full pixel decode stays honestly gated
+    with pytest.raises(NotImplementedError):
+        mm.decode_jpeg_pixels(mm.make_jpeg(0))
 
 
 def test_hash_parity_spark_vs_python(spark):
