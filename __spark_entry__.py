@@ -488,6 +488,28 @@ def _q_dedup_substrings(spark, sf_dir):
     return substring_dedup(_docs(spark, sf_dir), k=8)
 
 
+_OVERFLOW_PHRASE = (" lorem ipsum dolor sit amet consectetur"
+                    " adipiscing elit sed do")
+
+
+def _q_dedup_substrings_overflow(spark, sf_dir):
+    """The cap-overflow route exercised end-to-end: every 101st doc
+    gets a 10-token phrase planted 4× (40 appended tokens → 33
+    internally-duplicated 8-windows, guaranteed past the cap of 16
+    before any natural corpus matches), then the two-pass remover
+    routes exactly those docs through the second chunk of starts.
+    The oracle recomputes the planted corpus, the uncapped match
+    count, the 2×cap removal and both routing flags independently."""
+    from html_parser_spark.operators.substrings import (
+        substring_dedup_overflow)
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 101 == 0,
+               F.concat(F.col("text"), F.lit(_OVERFLOW_PHRASE * 4)))
+        .otherwise(F.col("text")).alias("text"))
+    return substring_dedup_overflow(d, k=8, max_matches_per_doc=16)
+
+
 def _q_frontier(spark, sf_dir):
     """Crawl-frontier expansion: discovered canonical targets LEFT ANTI
     crawled urls (none of the corpus's /r/ or site-host targets are
@@ -932,6 +954,37 @@ def _q_dedup_clusters(spark, sf_dir):
     return clusters.dedup_clusters(pairs)
 
 
+def _q_dedup_clusters_star(spark, sf_dir):
+    """Same cluster resolution as dedup_clusters but via the
+    alternating large-star/small-star algorithm (Kiveris et al.,
+    SoCC'14 — O(log² n) rounds on any graph shape). Pinned against the
+    IDENTICAL recursive-CTE oracle, so both CC algorithms are
+    value-verified to compute the same fixpoint on the production
+    near-dup graph."""
+    from html_parser_spark.operators import clusters
+    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), n=3, min_pct=60,
+                                max_doc_freq=20)
+    return clusters.dedup_clusters(pairs, algorithm="star")
+
+
+def _q_dedup_clusters_chain(spark, sf_dir):
+    """The adversarial chain-shaped graph: consecutive corpus doc_ids
+    linked into one path, diameter = n_docs - 1. Min-label propagation
+    would need a round per hop (its max_iter raises long before 500);
+    the star algorithm collapses the chain in O(log² n) rounds. The
+    oracle is the closed form — one component labeled min(doc_id).
+    (The chain builder's global-order window is fixture scaffolding,
+    not a production operator.)"""
+    from pyspark.sql import Window
+    from html_parser_spark.operators import clusters
+    d = _docs(spark, sf_dir).select("doc_id")
+    nxt = F.lead("doc_id").over(Window.orderBy("doc_id"))
+    chain = (d.select(F.col("doc_id").alias("doc_a"),
+                      nxt.alias("doc_b"))
+             .where(F.col("doc_b").isNotNull()))
+    return clusters.dedup_clusters(chain, algorithm="star")
+
+
 def _q_url_dedup(spark, sf_dir):
     """Crawl-frontier canonicalization: deterministically synthesize
     the messy spellings a crawler actually sees (tracking params,
@@ -1021,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_rank": _q_host_rank,
         "extract_with_links": _q_extract_with_links,
         "dedup_substrings": _q_dedup_substrings,
+        "dedup_substrings_overflow": _q_dedup_substrings_overflow,
         "frontier": _q_frontier,
         "chunk_docs": _q_chunk_docs,
         "quality_classifier": _q_quality_classifier,
@@ -1061,13 +1115,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _q_sample_stratified,
         "url_dedup": _q_url_dedup,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_clusters_star": _q_dedup_clusters_star,
+        "dedup_clusters_chain": _q_dedup_clusters_chain,
     }
+
+
+def _substrings_oracle(text_expr: str, n_keep: int,
+                       extra_cols: str = "") -> str:
+    """The substring-dedup oracle, parameterized over the source text
+    expression (plain vs overflow-planted), the starts slice bound,
+    and extra routing-flag columns — one SQL body for both contract
+    queries so the independent recompute can't drift."""
+    return f"""
+WITH w AS (SELECT doc_id, string_split({text_expr}, ' ') AS ws
+           FROM documents),
+g AS (SELECT doc_id, i - 1 AS pos,
+             {duckdb_base_hash("array_to_string(ws[i:i+7], ' ')")} AS h1,
+             {duckdb_base_hash2("array_to_string(ws[i:i+7], ' ')")} AS h2
+      FROM w, LATERAL (SELECT unnest(generate_series(
+                         1, greatest(len(ws) - 7, 0))) AS i) t),
+dup AS (SELECT h1, h2 FROM g GROUP BY h1, h2 HAVING count(*) >= 2),
+m AS (SELECT doc_id, pos FROM g JOIN dup USING (h1, h2)),
+st AS (SELECT doc_id, (list_sort(list(pos)))[1:{n_keep}] AS starts,
+              count(*)::bigint AS n_matched FROM m GROUP BY doc_id),
+f AS (SELECT w.doc_id, ws, coalesce(starts, []) AS starts,
+             coalesce(n_matched, 0)::bigint AS n_matched
+      FROM w LEFT JOIN st ON st.doc_id = w.doc_id),
+kx AS (SELECT doc_id, ws, n_matched,
+              list_filter(ws, (t, i) -> len(list_filter(starts,
+                  s -> s <= i - 1 AND i - 1 < s + 8)) = 0) AS kept
+       FROM f)
+SELECT doc_id, n_matched AS n_matched_starts,{extra_cols}
+       (len(ws) - len(kept))::bigint AS n_dup_tokens,
+       coalesce(array_to_string(kept, ' '), '') AS clean_text
+FROM kx"""
 
 
 def oracle_sql() -> dict[str, str]:
     qids = ", ".join(str(i) for i in _SIM_QUERY_IDS)
     stop_filter = f"list_filter(ws, x -> list_contains({_STOP_SQL}, x))"
-    return {
+    out = {
         "extract_text": f"SELECT {URL_SQL} AS url, {TEXT_SQL} AS text "
                         f"FROM documents",
         "extract_meta": f"""
@@ -1197,28 +1284,15 @@ SELECT {URL_SQL} AS url, {TEXT_SQL} AS text,
          || '|mailto:crawl@example.org'
        ELSE '' END AS link_targets
 FROM documents JOIN b USING (doc_id)""",
-        "dedup_substrings": f"""
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-g AS (SELECT doc_id, i - 1 AS pos,
-             {duckdb_base_hash("array_to_string(ws[i:i+7], ' ')")} AS h1,
-             {duckdb_base_hash2("array_to_string(ws[i:i+7], ' ')")} AS h2
-      FROM w, LATERAL (SELECT unnest(generate_series(
-                         1, greatest(len(ws) - 7, 0))) AS i) t),
-dup AS (SELECT h1, h2 FROM g GROUP BY h1, h2 HAVING count(*) >= 2),
-m AS (SELECT doc_id, pos FROM g JOIN dup USING (h1, h2)),
-st AS (SELECT doc_id, (list_sort(list(pos)))[1:256] AS starts,
-              count(*)::bigint AS n_matched FROM m GROUP BY doc_id),
-f AS (SELECT w.doc_id, ws, coalesce(starts, []) AS starts,
-             coalesce(n_matched, 0)::bigint AS n_matched
-      FROM w LEFT JOIN st ON st.doc_id = w.doc_id),
-kx AS (SELECT doc_id, ws, n_matched,
-              list_filter(ws, (t, i) -> len(list_filter(starts,
-                  s -> s <= i - 1 AND i - 1 < s + 8)) = 0) AS kept
-       FROM f)
-SELECT doc_id, n_matched AS n_matched_starts,
-       (len(ws) - len(kept))::bigint AS n_dup_tokens,
-       coalesce(array_to_string(kept, ' '), '') AS clean_text
-FROM kx""",
+        "dedup_substrings": _substrings_oracle("text", 256),
+        # planted corpus + 2x-cap slice + routing flags; a non-overflow
+        # doc's starts list holds <= cap entries, so the single filter
+        # over the [1:2*cap] slice IS the two-pass union on both routes
+        "dedup_substrings_overflow": _substrings_oracle(
+            f"CASE WHEN doc_id % 101 = 0 THEN text ||"
+            f" repeat('{_OVERFLOW_PHRASE}', 4) ELSE text END", 32,
+            extra_cols=" n_matched > 16 AS overflow,"
+                       " n_matched <= 32 AS resolved,"),
         "frontier": f"""
 WITH b AS (SELECT doc_id,
                   lpad(((doc_id * 7 + 1) % 100000000)::varchar, 8, '0')
@@ -1573,4 +1647,17 @@ SELECT doc_id::bigint AS doc_id, cluster_id::bigint AS cluster_id,
        (count(*) OVER (PARTITION BY cluster_id))::bigint AS cluster_size,
        (doc_id = cluster_id) AS is_kept
 FROM lab""",
+        # chain graph: the transitive closure of a path over all
+        # doc_ids is closed-form — one component, min doc_id as label
+        "dedup_clusters_chain": """
+WITH n AS (SELECT doc_id FROM documents),
+mn AS (SELECT min(doc_id) AS m, count(*)::bigint AS c FROM n)
+SELECT doc_id::bigint AS doc_id, m::bigint AS cluster_id,
+       c AS cluster_size, (doc_id = m) AS is_kept
+FROM n, mn""",
     }
+    # both CC algorithms must compute the SAME fixpoint on the
+    # production near-dup graph: the star variant pins against the
+    # identical recursive-CTE transitive-closure oracle
+    out["dedup_clusters_star"] = out["dedup_clusters"]
+    return out

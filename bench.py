@@ -100,7 +100,8 @@ def main() -> None:
                            ("lang_id", 2), ("fingerprint", 2),
                            ("repetition_stats", 2), ("domain_quota", 2),
                            ("quality_rarity", 2), ("sample_stratified", 2),
-                           ("url_dedup", 2), ("dedup_clusters", 1)):
+                           ("url_dedup", 2), ("dedup_clusters", 1),
+                           ("dedup_clusters_star", 1)):
             queries[name] = time_query(qmap[name], spark, sf_dir, reps=reps)
         # multimodal: stage the synthetic media table first (same
         # methodology as pages — synthesis excluded from the timing),

@@ -19,12 +19,23 @@ both on doc_id keys, partitioning reused round-to-round by AQE. Rounds
 plus leaves), so 2-4 rounds in practice. ``localCheckpoint`` after
 every round cuts the lineage chain — the classic failure mode of
 iterative DataFrame jobs (plan grows each round until the optimizer
-chokes) — and makes the per-round convergence count cheap. For
-adversarial chain-shaped graphs the alternating large-star/small-star
-rewrite (Kiveris et al., "Connected Components in MapReduce", SoCC'14)
-drops rounds to O(log n) with the same per-round join shape; the
-min-label loop here is the right default at the cluster shapes dedup
-actually produces.
+chokes) — and makes the per-round convergence count cheap.
+
+For adversarial chain/path-shaped graphs (diameter ≈ n) this module
+also implements the alternating **large-star/small-star** rewrite
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14): large-star connects every neighbor LARGER than a node to
+its neighborhood minimum, small-star connects the smaller ones —
+alternating the two halves the longest root-path geometrically, so
+the edge set collapses to a star forest (every node → its component
+min) in O(log² n) rounds instead of O(diameter). Each half-round is
+one window-min over the node key plus a distinct — two exchanges,
+same join shape every round, same ``localCheckpoint`` lineage
+discipline. ``connected_components`` (min-label) stays the default at
+the star-ish shapes template dedup actually produces (fewer exchanges
+per round, no edge-set rewrite); ``connected_components_star`` is the
+selectable escape for chain-shaped graphs, and raises nowhere near
+the label loop's diameter bound.
 
 The DuckDB oracle computes the same fixpoint independently via a
 recursive-CTE transitive closure (min reachable vertex) — a different
@@ -37,12 +48,14 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def connected_components(pairs: DataFrame, src: str = "doc_a",
-                         dst: str = "doc_b", max_iter: int = 25
-                         ) -> DataFrame:
+                         dst: str = "doc_b", max_iter: int = 25,
+                         stats: dict | None = None) -> DataFrame:
     """(doc_id, cluster_id): min-label connected components over an
     undirected pair list. Raises if the fixpoint is not reached within
     ``max_iter`` rounds (diameter bound exceeded — switch to
-    large-star/small-star before raising the cap)."""
+    ``connected_components_star`` before raising the cap). ``stats``
+    (optional dict) receives ``{"rounds": n}`` for convergence
+    auditing."""
     e = pairs.select(F.col(src).cast("long").alias("u"),
                      F.col(dst).cast("long").alias("v"))
     # materialize the symmetrized edge list ONCE — it is re-joined every
@@ -53,7 +66,7 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     lab = (sym.groupBy("u")
            .agg(F.least(F.col("u"), F.min("v")).alias("lab"))
            .localCheckpoint())
-    for _ in range(max_iter):
+    for rnd in range(1, max_iter + 1):
         nb = (sym.join(lab.select(F.col("u").alias("v"),
                                   F.col("lab").alias("vlab")), "v")
               .groupBy("u").agg(F.min("vlab").alias("nlab")))
@@ -64,20 +77,108 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         changed = new.filter(F.col("lab") != F.col("old")).count()
         lab = new.select("u", "lab")
         if changed == 0:
+            if stats is not None:
+                stats["rounds"] = rnd
             return lab.select(F.col("u").alias("doc_id"),
                               F.col("lab").cast("long").alias("cluster_id"))
     raise RuntimeError(
         f"connected_components: no fixpoint in {max_iter} rounds")
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star: for every node u, connect each STRICTLY LARGER
+    neighbor to m(u) = min(N(u) ∪ {u}). One window-min over the
+    symmetrized edge list (one exchange on u) + distinct."""
+    from pyspark.sql import Window
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = F.least(F.col("u"), F.min("v").over(Window.partitionBy("u")))
+    return (sym.withColumn("m", m)
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star: orient edges larger→smaller, then for every node u
+    connect each smaller neighbor (and u itself) to m(u) = min of the
+    smaller neighborhood. The two output rows per input edge — (v, m)
+    and (u, m) — come from ONE explode over the single window pass (a
+    union of two selects would compute the window twice over the full
+    edge list). (v, m) rows with v == m self-drop on the u != v
+    filter; u > m always holds since m ≤ v < u."""
+    from pyspark.sql import Window
+    d = e.select(F.greatest("u", "v").alias("u"),
+                 F.least("u", "v").alias("v"))
+    star = d.withColumn("m", F.min("v").over(Window.partitionBy("u")))
+    both = F.array(
+        F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+        F.struct(F.col("u").alias("u"), F.col("m").alias("v")))
+    return (star.select(F.explode(both).alias("e"))
+            .select("e.u", "e.v")
+            .where(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def connected_components_star(pairs: DataFrame, src: str = "doc_a",
+                              dst: str = "doc_b", max_iter: int = 50,
+                              stats: dict | None = None) -> DataFrame:
+    """(doc_id, cluster_id): alternating large-star/small-star
+    connected components (Kiveris et al., SoCC'14) — O(log² n) rounds
+    regardless of component diameter, so a 10^6-link chain that would
+    need 10^6 min-label propagation rounds converges in ~20 star
+    rounds. Convergence is detected by an (edge count, xxhash64 sum)
+    checksum going stable across a full large+small round — one tiny
+    two-value action per round, same cost class as the label loop's
+    ``changed`` count. At the fixpoint the edge set IS the star
+    forest: every non-root node holds exactly (node → component min).
+    """
+    e = (pairs.select(F.col(src).cast("long").alias("u"),
+                      F.col(dst).cast("long").alias("v"))
+         .where(F.col("u") != F.col("v"))
+         .distinct().localCheckpoint())
+    nodes = (e.select("u").union(e.select(F.col("v").alias("u")))
+             .distinct().localCheckpoint())
+
+    def checksum(edges: DataFrame) -> tuple:
+        # bit_xor fold of the per-edge hashes: order-insensitive and
+        # overflow-free (a SUM of xxhash64 values trips ANSI-mode
+        # long-overflow on real edge counts)
+        r = edges.agg(F.count("*").alias("n"),
+                      F.expr("bit_xor(xxhash64(u, v))").alias("h")).first()
+        return (r["n"], r["h"])
+
+    prev = checksum(e)
+    for rnd in range(1, max_iter + 1):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        cur = checksum(e)
+        if cur == prev:
+            if stats is not None:
+                stats["rounds"] = rnd
+            root = e.groupBy("u").agg(F.min("v").alias("lab"))
+            return (nodes.join(root, "u", "left")
+                    .select(F.col("u").cast("long").alias("doc_id"),
+                            F.coalesce("lab", "u").cast("long")
+                            .alias("cluster_id")))
+        prev = cur
+    raise RuntimeError(
+        f"connected_components_star: no fixpoint in {max_iter} rounds")
+
+
 def dedup_clusters(pairs: DataFrame, src: str = "doc_a",
-                   dst: str = "doc_b") -> DataFrame:
+                   dst: str = "doc_b",
+                   algorithm: str = "label") -> DataFrame:
     """Resolve near-dup pairs into keep/drop decisions:
     (doc_id, cluster_id, cluster_size, is_kept) for every document that
     appears in at least one pair. ``is_kept`` marks the cluster's
     min-id representative; the training-set filter is an anti-join of
-    the corpus against the ``is_kept = false`` rows."""
-    lab = connected_components(pairs, src, dst)
+    the corpus against the ``is_kept = false`` rows. ``algorithm``:
+    "label" (min-label propagation, default — fewest exchanges on the
+    star-ish graphs dedup produces) or "star" (large-star/small-star,
+    O(log² n) rounds on chain-shaped graphs)."""
+    if algorithm == "star":
+        lab = connected_components_star(pairs, src, dst)
+    else:
+        lab = connected_components(pairs, src, dst)
     sizes = (lab.groupBy("cluster_id")
              .agg(F.count("*").cast("long").alias("cluster_size")))
     return (lab.join(sizes, "cluster_id")

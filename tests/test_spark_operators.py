@@ -753,6 +753,57 @@ def test_connected_components_transitivity_and_chains(spark):
     assert size[1] == 3 and size[17] == 8 and size[40] == 2
     assert kept == {1, 10, 40}
     assert len(out) == 13
+    # the star algorithm resolves the same graph identically
+    star = clusters.dedup_clusters(pairs, algorithm="star").collect()
+    assert sorted(map(tuple, star)) == sorted(map(tuple, out))
+
+
+def test_connected_components_star_chain_1000(spark):
+    """The adversarial shape the star rewrite exists for: a planted
+    1,000-link chain (diameter 1,000). Min-label propagation moves the
+    minimum one hop per round — >10 rounds on even a 30-chain and a
+    diameter-bound RuntimeError at the default cap on the full chain —
+    while large-star/small-star collapses the whole thing in O(log² n)
+    rounds. Ground truth is closed-form: one component labeled 0."""
+    from html_parser_spark.operators import clusters
+
+    chain_30 = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["doc_a", "doc_b"])
+    st = {}
+    lab = clusters.connected_components(chain_30, max_iter=35, stats=st)
+    assert st["rounds"] > 10          # label propagation is O(diameter)
+    assert all(r["cluster_id"] == 0 for r in lab.collect())
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1000)], ["doc_a", "doc_b"])
+    with pytest.raises(RuntimeError):  # documented diameter-bound escape
+        clusters.connected_components(chain, max_iter=25)
+
+    st = {}
+    out = clusters.connected_components_star(chain, stats=st).collect()
+    assert st["rounds"] <= 15          # O(log² n), not O(n)
+    assert len(out) == 1001
+    assert all(r["cluster_id"] == 0 for r in out)
+
+    # isolated self-pair + two components: star forest labels exact
+    multi = spark.createDataFrame(
+        [(5, 9), (9, 2), (77, 40)], ["doc_a", "doc_b"])
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in clusters.connected_components_star(multi).collect()}
+    assert got == {2: 2, 5: 2, 9: 2, 40: 40, 77: 40}
+
+
+def test_star_round_plan_shape(spark):
+    """Each star half-round is a window-min keyed on the node id plus
+    a distinct: exactly two hash exchanges (window partitionBy u, then
+    the distinct's re-aggregation), no join, no cartesian."""
+    from html_parser_spark.operators.clusters import _large_star, _small_star
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], ["u", "v"])
+    for half in (_large_star(e), _small_star(e)):
+        plan = half._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan and "CartesianProduct" not in plan
+        assert plan.count("Exchange hashpartitioning") <= 2, plan
 
 
 def test_harvest_anchors_units():
@@ -967,6 +1018,44 @@ def test_substring_dedup_planted_passages(spark):
     # has both identical half-windows plus any internal overlaps
     assert got[1]["n_matched_starts"] == 3 == got[2]["n_matched_starts"]
     assert got[4]["n_matched_starts"] >= 2
+
+
+def test_substring_dedup_overflow_routing(spark):
+    """The cap binds, the overflow flag routes, and the second pass
+    removes strictly more than the capped pass: a doc built from a
+    10-token phrase repeated 6 times has 53 duplicated 8-windows.
+    With cap=16 the single-pass remover covers tokens [0,23) of 60;
+    the routed two-pass variant applies 32 starts, covering [0,39) —
+    still truncated (53 > 32), so it surfaces resolved=false for
+    further routing. An untouched unique doc takes the non-overflow
+    route with output identical to the single-pass remover."""
+    from html_parser_spark.operators.substrings import (
+        substring_dedup, substring_dedup_overflow)
+
+    phrase = " ".join(f"w{i}" for i in range(10))
+    rows = [
+        (1, " ".join([phrase] * 6)),  # 60 tokens, 53 dup windows
+        (2, "singular vocabulary nothing shared across rows qq zz yy"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = {r["doc_id"]: r
+              for r in substring_dedup(docs, k=8,
+                                       max_matches_per_doc=16).collect()}
+    routed = {r["doc_id"]: r
+              for r in substring_dedup_overflow(
+                  docs, k=8, max_matches_per_doc=16).collect()}
+
+    assert routed[1]["n_matched_starts"] == 53  # detection uncapped
+    assert routed[1]["overflow"] is True
+    assert routed[1]["resolved"] is False       # 53 > 2*16: more passes
+    # the routed second pass removed strictly more than the capped pass
+    assert routed[1]["n_dup_tokens"] > capped[1]["n_dup_tokens"]
+    assert capped[1]["n_dup_tokens"] == 23      # starts 0..15 cover [0,24)
+    assert routed[1]["n_dup_tokens"] == 39      # starts 0..31 cover [0,40)
+    # non-overflow route: bit-identical to the single-pass remover
+    assert routed[2]["overflow"] is False and routed[2]["resolved"] is True
+    assert routed[2]["clean_text"] == capped[2]["clean_text"] == rows[1][1]
+    assert routed[2]["n_dup_tokens"] == 0
 
 
 def test_vocab_topk_values_and_take_ordered(spark):
