@@ -56,6 +56,14 @@ _RAWTEXT_RUN = re.compile(r"[^<\x00]+")
 _ESCAPED_RUN = re.compile(r"[^<\x00-]+")
 _PLAINTEXT_RUN = re.compile(r"[^\x00]+")
 _TAGNAME_RUN = re.compile(r"[^\t\n\f />]+")
+# data-state fused fast path: one C-level match consumes a clean text
+# run AND, when one follows immediately, a complete bare `<name>` /
+# `</name>` (no attrs, no solidus) — the dominant byte shape of
+# text-heavy html. Anything else (charref, NUL, tag with attributes,
+# markup declaration) falls back to the general per-state dispatch.
+# Group 1 never admits '<', so the optional tag group cannot backtrack
+# into it.
+_DATA_CHUNK = re.compile(r"([^&<\x00]*)(?:<(/?)([a-zA-Z][^\t\n\f />]*)>)?")
 _ATTRNAME_RUN = re.compile(r"[^\t\n\f /=>]+")
 _ATTRVAL_DQ = re.compile(r'[^"&\x00]+')
 _ATTRVAL_SQ = re.compile(r"[^'&\x00]+")
@@ -317,23 +325,61 @@ class Tokenizer:
                 yield (EOF,)
                 return
             if state == DATA:
-                buf: list[str] = []
+                # text accumulation: the overwhelmingly common shape is
+                # ONE clean run then a delimiter, so the single piece is
+                # held as a plain str and a list+join materializes only
+                # when a charref actually splits the run
+                text: str | None = None
+                buf: list[str] | None = None
+                tag_tok = None
+                lt_pos = 0
                 while pos < n:
-                    m = _DATA_RUN.match(s, pos)
-                    if m is not None:
-                        buf.append(m.group())
+                    m = _DATA_CHUNK.match(s, pos)
+                    piece = m.group(1)
+                    if piece:
+                        if text is None:
+                            text = piece
+                        elif buf is None:
+                            buf = [text, piece]
+                        else:
+                            buf.append(piece)
+                    raw = m.group(3)
+                    if raw is not None and "\x00" not in raw:
+                        # fused bare-tag hit: token built here, no
+                        # _tag_name call, no attribute loop. lt_pos
+                        # (the '<') is where self.pos must sit while
+                        # the preceding CHARS token is processed —
+                        # tree errors blame tokenizer.pos-1.
+                        lt_pos = m.end(1)
                         pos = m.end()
-                        if pos >= n:
-                            break
+                        name = _lower(raw)
+                        if m.group(2):
+                            tag_tok = (END, name)
+                        else:
+                            self.last_start_tag = name
+                            tag_tok = (START, name, {}, False)
+                        break
+                    pos = m.end(1)
+                    if pos >= n:
+                        break
                     c = s[pos]
                     if c == "&":
                         self.pos = pos + 1
-                        buf.append(self._charref_or_raw(False))
+                        piece = self._charref_or_raw(False)
+                        if text is None:
+                            text = piece
+                        elif buf is None:
+                            buf = [text, piece]
+                        else:
+                            buf.append(piece)
                         pos = self.pos
                     elif c == "\x00":
-                        if buf:
+                        if buf is not None:
                             yield (CHARS, "".join(buf))
-                            buf = []
+                            text = buf = None
+                        elif text is not None:
+                            yield (CHARS, text)
+                            text = None
                         m2 = _NUL_RUN.match(s, pos)
                         k = m2.end() - pos
                         for i in range(k):
@@ -341,16 +387,22 @@ class Tokenizer:
                                        at=pos + i)
                         yield (NULLS, k)
                         pos = m2.end()
-                    else:  # '<'
+                    else:  # '<' not opening a bare tag
                         break
-                self.pos = pos
-                if buf:
+                self.pos = lt_pos if tag_tok is not None else pos
+                if buf is not None:
                     yield (CHARS, "".join(buf))
+                elif text is not None:
+                    yield (CHARS, text)
+                if tag_tok is not None:
+                    self.pos = pos
+                    yield tag_tok
+                    continue
                 if pos >= n:
                     continue
-                # '<' — plain start/end tags take a non-generator fast
-                # path (generator setup for _tag_open is measurable at
-                # ~1 per 40 input bytes on real html)
+                # '<' with a non-bare shape — plain tags with attributes
+                # take the non-generator _tag_name path (generator setup
+                # for _tag_open is measurable at ~1 per 40 input bytes)
                 p1 = pos + 1
                 c1 = s[p1] if p1 < n else ""
                 if "a" <= c1 <= "z" or "A" <= c1 <= "Z":

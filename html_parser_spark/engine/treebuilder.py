@@ -75,6 +75,15 @@ AFTER_AFTER_BODY = 19
 AFTER_AFTER_FRAMESET = 20
 
 _WS = "\t\n\f "
+# frameset-ok check: a C-level search allocates nothing, unlike
+# data.strip(_WS) which builds a stripped copy per text token
+_NONWS_RE = _re.compile(r"[^\t\n\f ]")
+# formatting START tags (FORMATTING minus the two with dedicated
+# branches: <a> runs the duplicate-AFE check, <nobr> the in-scope
+# implied close)
+_INLINE_FORMATTING = frozenset(
+    ["b", "big", "code", "em", "font", "i", "s", "small",
+     "strike", "strong", "tt", "u"])
 MARKER = object()  # active-formatting-elements marker sentinel
 
 CHARS, NULLS, START, END, COMMENT, DOCTYPE, EOF = (
@@ -229,8 +238,9 @@ class TreeBuilder:
             self._setup_fragment()
         n = 0
         process = self.process  # bind once: ~145k lookups per MB saved
-        for token in self.tokenizer.tokenize():
-            n += 1
+        # enumerate keeps the token count in C instead of a per-token
+        # `n += 1` bytecode pair
+        for n, token in enumerate(self.tokenizer.tokenize(), 1):
             process(token)
             if self.done:
                 break
@@ -484,7 +494,9 @@ class TreeBuilder:
             parent = self.stack[-1] if self.stack else None
             if parent is None:
                 return
-            if (parent.namespace == HTML_NS and parent.name == "template"
+            # name test first: "template" is rare, namespace is almost
+            # always HTML_NS — the cheap-to-fail comparison leads
+            if (parent.name == "template" and parent.namespace == HTML_NS
                     and parent.content is not None):
                 parent = parent.content
             children = parent.children
@@ -1145,8 +1157,28 @@ class TreeBuilder:
                 if not data:
                     return None
             self.reconstruct_afe()
-            self.insert_text(data)
-            if self.frameset_ok and data.strip(_WS):
+            # inlined insert_text fast path (the hottest call site —
+            # one text token per ~85 input bytes; keep in lockstep
+            # with insert_text below, which remains the one general
+            # implementation every other site uses)
+            stack = self.stack
+            if not self.foster and stack:
+                parent = stack[-1]
+                if (parent.name == "template"
+                        and parent.namespace == HTML_NS
+                        and parent.content is not None):
+                    parent = parent.content
+                children = parent.children
+                prev = children[-1] if children else None
+                if type(prev) is Text:
+                    prev.data += data
+                else:
+                    t = Text(data)
+                    t.parent = parent
+                    children.append(t)
+            else:
+                self.insert_text(data)
+            if self.frameset_ok and _NONWS_RE.search(data) is not None:
                 self.frameset_ok = False
             return None
         if kind == NULLS:
@@ -1171,6 +1203,19 @@ class TreeBuilder:
     def _in_body_start(self, token):
         name = token[1]
         attrs = token[2]
+        # hot path first: block containers and inline formatting are
+        # ~97% of start tags on text-heavy pages; every name check in
+        # this chain is exclusive, so ordering is semantically free
+        if name in BLOCK_START:
+            if self.in_button_scope("p"):
+                self.close_p()
+            self.insert_start_tag(token)
+            return None
+        if name in _INLINE_FORMATTING:
+            self.reconstruct_afe()
+            el = self.insert_start_tag(token)
+            self.push_afe(el, name, attrs)
+            return None
         if name == "html":
             self.error("unexpected-start-tag")
             if self.find_on_stack("template") == -1 and self.stack:
@@ -1203,21 +1248,6 @@ class TreeBuilder:
                 del self.stack[1:]
                 self.insert_start_tag(token)
                 self.mode = IN_FRAMESET
-            return None
-        if name in BLOCK_START:
-            if self.in_button_scope("p"):
-                self.close_p()
-            self.insert_start_tag(token)
-            return None
-        # hot path: inline formatting tags (reordered first among the
-        # name checks after the block set — by far the most frequent
-        # start tags on real text-heavy pages; branch order here is
-        # semantically free since checks are exclusive on name)
-        if name in {"b", "big", "code", "em", "font", "i", "s", "small",
-                    "strike", "strong", "tt", "u"}:
-            self.reconstruct_afe()
-            el = self.insert_start_tag(token)
-            self.push_afe(el, name, attrs)
             return None
         if name in {"h1", "h2", "h3", "h4", "h5", "h6"}:
             if self.in_button_scope("p"):
@@ -1480,6 +1510,15 @@ class TreeBuilder:
         return el
 
     def close_p(self) -> None:
+        # fast path: the current node already IS the <p> (the dominant
+        # case — <p>text<p> chains). Then implied-end-tags pops nothing
+        # (p is the excluded name), the error check passes, and
+        # pop_until pops exactly one element.
+        stack = self.stack
+        cur = stack[-1] if stack else None
+        if cur is not None and cur.name == "p" and cur.namespace == HTML_NS:
+            stack.pop()
+            return
         self.generate_implied_end_tags(exclude="p")
         if not (self.current.namespace == HTML_NS and self.current.name == "p"):
             self.error("unexpected-implied-end-tag")
@@ -1487,6 +1526,17 @@ class TreeBuilder:
 
     def _in_body_end(self, token):
         name = token[1]
+        # hot path first (checks exclusive on name, order free): </p>
+        # and the formatting closers dominate text-heavy pages
+        if name == "p":
+            if not self.in_button_scope("p"):
+                self.error("unexpected-end-tag")
+                self.insert_element("p", {})
+            self.close_p()
+            return None
+        if name in FORMATTING:
+            self.adoption_agency(name)
+            return None
         if name == "template":
             return self.mode_in_head(token)
         if name in ("body", "html"):
@@ -1533,12 +1583,6 @@ class TreeBuilder:
                     self.error("unexpected-end-tag")
                 self.pop_until("form")
             return None
-        if name == "p":
-            if not self.in_button_scope("p"):
-                self.error("unexpected-end-tag")
-                self.insert_element("p", {})
-            self.close_p()
-            return None
         if name == "li":
             if not self.in_list_item_scope("li"):
                 self.error("unexpected-end-tag")
@@ -1565,9 +1609,6 @@ class TreeBuilder:
             if not (self.current.namespace == HTML_NS and self.current.name == name):
                 self.error("unexpected-end-tag")
             self.pop_until("h1", "h2", "h3", "h4", "h5", "h6")
-            return None
-        if name in FORMATTING:
-            self.adoption_agency(name)
             return None
         if name in ("applet", "marquee", "object"):
             if not self.in_scope(name):
