@@ -102,6 +102,18 @@ DOCUMENT_CASES = [
                          ("eof-in-frameset", 1, 15)]),
     # line counting: the pended 'A' sits on line 2
     ("<!DOCTYPE html>\n<table>A</table>", [("fostered-char", 2, 8)]),
+    # --- fused data-state bare-tag path (tokenizer.py::_DATA_CHUNK):
+    # the CHARS token preceding a fused tag must still be processed
+    # with self.pos at the '<' so char-blamed errors point at the run,
+    # and errors on the fused tag itself blame its '>'
+    ("x<caption>", [("expected-doctype-but-got-chars", 1, 1),
+                    ("unexpected-start-tag-ignored", 1, 10)]),
+    ("<frameset>x<frame>", [(EDS, 1, 10),
+                            ("unexpected-char-in-frameset", 1, 11),
+                            ("eof-in-frameset", 1, 18)]),
+    ("<!DOCTYPE html><body></p>", [("unexpected-end-tag", 1, 25)]),
+    ("<!DOCTYPE html>\n<table>\nAB\n<div>",
+     [("fostered-char", 3, 3), ("fostered-start-tag", 4, 5)]),
 ]
 
 # codes only reachable through the fragment algorithm (context resets
