@@ -906,6 +906,16 @@ def _q_vocab_topk(spark, sf_dir):
     return textstats.vocab_topk(_docs(spark, sf_dir), k=200)
 
 
+def _q_collocations(spark, sf_dir):
+    """Phrase mining: top-100 bigram collocations by exact integer
+    Dice score (ppm). min_count=5 cuts hapax bigrams before the
+    unigram joins; integer div keeps the score bit-identical to the
+    DuckDB twin (// floors == div truncates on the non-negative
+    domain)."""
+    return textstats.collocations(_docs(spark, sf_dir), min_count=5,
+                                  k=100)
+
+
 def _q_repetition_stats(spark, sf_dir):
     # Gopher-style repetition features — zero-shuffle narrow map
     # (sorted-bigram run-length scan); the oracle recomputes the mode
@@ -1079,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": _q_chunk_docs,
         "quality_classifier": _q_quality_classifier,
         "vocab_topk": _q_vocab_topk,
+        "collocations": _q_collocations,
         "pdf_extract": _q_pdf_extract,
         "serializer_roundtrip": _q_roundtrip,
         "resume_antijoin": _q_resume_antijoin,
@@ -1332,6 +1343,23 @@ FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
 GROUP BY token
 ORDER BY tf DESC, token
 LIMIT 200""",
+        "collocations": """
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+uni AS (SELECT u.tok, count(*)::bigint AS n
+        FROM toks, unnest(t) AS u(tok) GROUP BY 1),
+bg AS (SELECT unnest(list_transform(t[1:len(t) - 1],
+                                    (x, i) -> x || ' ' || t[i + 1]))
+              AS bigram
+       FROM toks),
+nxy AS (SELECT bigram, count(*)::bigint AS n_xy
+        FROM bg GROUP BY 1 HAVING count(*) >= 5)
+SELECT bigram, n_xy, ux.n AS n_x, uy.n AS n_y,
+       ((2000000 * n_xy) // (ux.n + uy.n))::bigint AS dice_ppm
+FROM nxy
+JOIN uni ux ON ux.tok = split_part(bigram, ' ', 1)
+JOIN uni uy ON uy.tok = split_part(bigram, ' ', 2)
+ORDER BY dice_ppm DESC, bigram
+LIMIT 100""",
         "pdf_extract": f"""
 WITH g AS (
   SELECT doc_id, source,

@@ -152,7 +152,8 @@ def main() -> None:
         queries["link_hostgraph_stage"] = time_query(
             lambda *_: host_graph(links_t), None, reps=2)
         for name, reps in (("dedup_substrings", 1), ("chunk_docs", 2),
-                           ("quality_classifier", 2)):
+                           ("quality_classifier", 2),
+                           ("collocations", 2)):
             queries[name] = time_query(qmap[name], spark, sf_dir,
                                        reps=reps)
 

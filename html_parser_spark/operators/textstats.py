@@ -298,3 +298,49 @@ def vocab_topk(docs: DataFrame, k: int = 200) -> DataFrame:
                 F.count("*").cast("long").alias("df")))
     return (agg.orderBy(F.col("tf").desc(), F.col("token"))
             .limit(k))
+
+
+def collocations(docs: DataFrame, min_count: int = 5,
+                 k: int = 100) -> DataFrame:
+    """Corpus collocation mining (phrase-table input for tokenizer /
+    n-gram merge training): top-k word bigrams by Dice association,
+    ``dice_ppm = 2_000_000 * n_xy div (n_x + n_y)`` — EXACT integer
+    arithmetic, so the score is bit-identical across partitionings and
+    engines (no log-domain float parity risk; same fixed-point
+    discipline as operators/rank.py). ``2e6 * n_xy`` with
+    ``n_xy <= min(n_x, n_y)`` keeps the numerator under ``2e6 * N``
+    tokens — at int64 that holds to ~4.6e12 occurrences of a single
+    bigram, far past any real corpus hot pair.
+
+    Plan shape at scale: one explode+groupBy per n-gram order (both
+    with map-side combine — the exchanges carry per-partition DISTINCT
+    grams, vocabulary-bounded, not token-bounded), the ``min_count``
+    filter cuts the bigram table BEFORE the two unigram equi-joins
+    (hapax bigrams — the vast majority — never join), and the top-k is
+    a TakeOrdered, not a global sort. The unigram side stays a shuffle
+    join on the token key: at web scale the vocabulary outgrows a
+    broadcast. Deterministic (dice desc, bigram asc) tiebreak: bigram
+    strings are unique keys (tokens cannot contain the split char), so
+    the selected top-k set is unique."""
+    w = F.split(F.col("text"), " ")
+    pairs = F.zip_with(F.slice(w, 1, F.size(w) - 1),
+                       F.slice(w, 2, F.size(w) - 1),
+                       lambda a, b: F.struct(a.alias("x"), b.alias("y")))
+    nxy = (docs.select(F.explode(pairs).alias("p"))
+           .select("p.x", "p.y")
+           .groupBy("x", "y").agg(F.count("*").cast("long").alias("n_xy"))
+           .where(F.col("n_xy") >= min_count))
+    uni = (docs.select(F.explode(w).alias("tok"))
+           .groupBy("tok").agg(F.count("*").cast("long").alias("n")))
+    out = (nxy
+           .join(uni.select(F.col("tok").alias("x"),
+                            F.col("n").alias("n_x")), "x")
+           .join(uni.select(F.col("tok").alias("y"),
+                            F.col("n").alias("n_y")), "y"))
+    dice = F.expr("(2000000 * n_xy) div (n_x + n_y)")
+    return (out.select(
+        F.concat_ws(" ", "x", "y").alias("bigram"),
+        "n_xy", "n_x", "n_y",
+        dice.cast("long").alias("dice_ppm"))
+        .orderBy(F.col("dice_ppm").desc(), "bigram")
+        .limit(k))

@@ -1094,3 +1094,38 @@ def test_combined_kernel_links_equal_standalone(spark, pages):
     got = {tuple(r) for r in combined.collect()}
     want = {tuple(r) for r in extract_links(pages).collect()}
     assert got == want and len(got) > 0
+
+
+def test_collocations_exact_dice_and_take_ordered(spark):
+    """Dice ppm matches a Python recount exactly (integer fixed point);
+    hapax bigrams are cut before the joins; plan stays a TakeOrdered."""
+    from collections import Counter
+
+    from html_parser_spark.operators import textstats
+
+    rows = [
+        (1, "new york is big new york is old"),
+        (2, "new york new york new haven"),
+        (3, "old haven is not new"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = textstats.collocations(docs, min_count=2, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+    uni, big = Counter(), Counter()
+    for _, t in rows:
+        ws = t.split(" ")
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+    want = []
+    for (x, y), n_xy in big.items():
+        if n_xy >= 2:
+            want.append((f"{x} {y}", n_xy, uni[x], uni[y],
+                         (2_000_000 * n_xy) // (uni[x] + uni[y])))
+    want.sort(key=lambda r: (-r[4], r[0]))
+    got = [(r["bigram"], r["n_xy"], r["n_x"], r["n_y"], r["dice_ppm"])
+           for r in out.collect()]
+    assert got == want[:5]
+    # "new york" must be the top collocation of this corpus
+    assert got[0][0] == "new york"
