@@ -50,7 +50,6 @@ CDATA_SECTION = 5
 
 _WS = "\t\n\f "
 
-_DATA_RUN = re.compile(r"[^&<\x00]+")
 _RCDATA_RUN = re.compile(r"[^&<\x00]+")
 _RAWTEXT_RUN = re.compile(r"[^<\x00]+")
 _ESCAPED_RUN = re.compile(r"[^<\x00-]+")

@@ -80,10 +80,8 @@ _WS = "\t\n\f "
 _NONWS_RE = _re.compile(r"[^\t\n\f ]")
 # formatting START tags (FORMATTING minus the two with dedicated
 # branches: <a> runs the duplicate-AFE check, <nobr> the in-scope
-# implied close)
-_INLINE_FORMATTING = frozenset(
-    ["b", "big", "code", "em", "font", "i", "s", "small",
-     "strike", "strong", "tt", "u"])
+# implied close) — derived, so a tables.FORMATTING edit cannot drift
+_INLINE_FORMATTING = FORMATTING - frozenset(("a", "nobr"))
 MARKER = object()  # active-formatting-elements marker sentinel
 
 CHARS, NULLS, START, END, COMMENT, DOCTYPE, EOF = (

@@ -132,12 +132,15 @@ def connected_components_star(pairs: DataFrame, src: str = "doc_a",
     ``changed`` count. At the fixpoint the edge set IS the star
     forest: every non-root node holds exactly (node → component min).
     """
-    e = (pairs.select(F.col(src).cast("long").alias("u"),
-                      F.col(dst).cast("long").alias("v"))
-         .where(F.col("u") != F.col("v"))
-         .distinct().localCheckpoint())
-    nodes = (e.select("u").union(e.select(F.col("v").alias("u")))
+    raw = pairs.select(F.col(src).cast("long").alias("u"),
+                       F.col(dst).cast("long").alias("v"))
+    # nodes come from the UNFILTERED pair list: a document whose only
+    # pair is a self-pair (u == v) still owns a singleton row in the
+    # output, exactly like connected_components
+    nodes = (raw.select("u").union(raw.select(F.col("v").alias("u")))
              .distinct().localCheckpoint())
+    e = (raw.where(F.col("u") != F.col("v"))
+         .distinct().localCheckpoint())
 
     def checksum(edges: DataFrame) -> tuple:
         # bit_xor fold of the per-edge hashes: order-insensitive and
@@ -177,8 +180,11 @@ def dedup_clusters(pairs: DataFrame, src: str = "doc_a",
     O(log² n) rounds on chain-shaped graphs)."""
     if algorithm == "star":
         lab = connected_components_star(pairs, src, dst)
-    else:
+    elif algorithm == "label":
         lab = connected_components(pairs, src, dst)
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}: "
+                         "expected 'label' or 'star'")
     sizes = (lab.groupBy("cluster_id")
              .agg(F.count("*").cast("long").alias("cluster_size")))
     return (lab.join(sizes, "cluster_id")

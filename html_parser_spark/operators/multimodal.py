@@ -309,6 +309,8 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int]:
             raise ValueError("corrupt JPEG segment length")
         # SOF0-3, 5-7, 9-11, 13-15 all share the frame-header layout
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 10 > len(b):
+                raise ValueError("truncated SOF frame header")
             h, w = struct.unpack(">HH", b[pos + 5:pos + 9])
             ncomp = b[pos + 9]
             if not (w and h and ncomp):

@@ -181,25 +181,39 @@ def run_extraction(spark: SparkSession, pages: DataFrame, output_path: str,
     report = run_report(committed.filter(F.col("run_id") == rid))
     report["run_id"] = rid
     report["wall_s"] = round(wall, 3)
-    report["table_docs"] = _table_rows_from_metadata(output_path)
+    report["table_docs"] = _table_rows_from_metadata(committed)
     return report
 
 
-def _table_rows_from_metadata(output_path: str) -> int:
+def _table_rows_from_metadata(committed: DataFrame) -> int:
     """Whole-table row count from parquet footer metadata only — no
     data scan. A ``committed.count()`` here would re-read the entire
     output path per run, a hidden full pass over 10^12 committed rows.
     Footers carry exact row counts (sum of row-group num_rows); on an
     Iceberg catalog this becomes the current snapshot's
-    ``total-records`` summary property — same O(metadata) cost."""
+    ``total-records`` summary property — same O(metadata) cost.
+
+    The file list comes from the READER (``inputFiles()``), never a
+    directory walk: Spark's listing excludes ``_temporary``/``_*``
+    artifacts a crashed earlier attempt may have left behind (the
+    resume path exists precisely because that happens), and it works
+    on any filesystem URI. Local files read their footers via
+    pyarrow; non-local schemes (hdfs/s3a on a real cluster) fall back
+    to a count() — correct everywhere, and on those deployments the
+    Iceberg snapshot property replaces this function anyway."""
     import pyarrow.parquet as pq
 
     total = 0
-    for root, _dirs, files in os.walk(output_path):
-        for name in files:
-            if name.endswith(".parquet"):
-                total += pq.ParquetFile(
-                    os.path.join(root, name)).metadata.num_rows
+    for uri in committed.inputFiles():
+        if uri.startswith("file:"):
+            path = uri[len("file:"):]
+            while path.startswith("//"):
+                path = path[1:]
+        elif "://" not in uri:
+            path = uri
+        else:
+            return committed.count()
+        total += pq.ParquetFile(path).metadata.num_rows
     return total
 
 

@@ -240,6 +240,8 @@ def test_multimodal_codecs_are_real():
     with pytest.raises(ValueError):  # desynchronized marker stream
         mm.decode_jpeg(b"\xff\xd8\xff\xe0\x00\x10" + b"\x00" * 14
                        + b"\x00\x00\x00\x00")
+    with pytest.raises(ValueError):  # truncated inside the SOF header
+        mm.decode_jpeg(b"\xff\xd8\xff\xc0\x00\x0b\x08")
     with pytest.raises(ValueError):
         mm._decode_one(b"\x00" * 32)
     # full pixel decode stays honestly gated
@@ -785,12 +787,22 @@ def test_connected_components_star_chain_1000(spark):
     assert len(out) == 1001
     assert all(r["cluster_id"] == 0 for r in out)
 
-    # isolated self-pair + two components: star forest labels exact
+    # two components PLUS a genuine isolated self-pair (7,7): the
+    # self-loop edge is filtered but doc 7 must keep its singleton
+    # row, identical to connected_components on the same input
     multi = spark.createDataFrame(
-        [(5, 9), (9, 2), (77, 40)], ["doc_a", "doc_b"])
+        [(5, 9), (9, 2), (77, 40), (7, 7)], ["doc_a", "doc_b"])
+    want = {2: 2, 5: 2, 9: 2, 40: 40, 77: 40, 7: 7}
     got = {r["doc_id"]: r["cluster_id"]
            for r in clusters.connected_components_star(multi).collect()}
-    assert got == {2: 2, 5: 2, 9: 2, 40: 40, 77: 40}
+    assert got == want
+    got_label = {r["doc_id"]: r["cluster_id"]
+                 for r in clusters.connected_components(multi).collect()}
+    assert got_label == want
+
+    # unknown algorithm name must raise, not silently fall back
+    with pytest.raises(ValueError):
+        clusters.dedup_clusters(multi, algorithm="Star")
 
 
 def test_star_round_plan_shape(spark):
