@@ -25,7 +25,8 @@ from html_parser_spark.functions.hashing import (
     BANDS, NUM_HASHES, P31, SIMHASH_BITS, duckdb_base_hash,
     duckdb_base_hash2, minhash_term)
 from html_parser_spark.operators import (conformance, dedup, lines,
-                                          multimodal, similarity, textstats)
+                                          multimodal, normalize,
+                                          similarity, textstats)
 from html_parser_spark.operators.extract import (extract_error_positions,
                                                  extract_pages,
                                                  roundtrip_check)
@@ -906,6 +907,22 @@ def _q_vocab_topk(spark, sf_dir):
     return textstats.vocab_topk(_docs(spark, sf_dir), k=200)
 
 
+def _q_normalize_text(spark, sf_dir):
+    """Unicode NFC pass over the corpus with planted decomposed
+    sequences (every doc_id % 5 == 0 gets ' cafe'+U+0301+' '+U+FB01+'n'
+    appended on BOTH sides): composition must rewrite exactly those
+    docs (the ligature stays — NFC is canonical, not compatibility),
+    everything else passes through unchanged."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit(" cafe\u0301 \ufb01n"))
+            .otherwise(F.lit(""))).alias("text"))
+    return normalize.normalize_text(docs)
+
+
 def _q_collocations(spark, sf_dir):
     """Phrase mining: top-100 bigram collocations by exact integer
     Dice score (ppm). min_count=5 cuts hapax bigrams before the
@@ -1090,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "vocab_topk": _q_vocab_topk,
         "collocations": _q_collocations,
+        "normalize_text": _q_normalize_text,
         "pdf_extract": _q_pdf_extract,
         "serializer_roundtrip": _q_roundtrip,
         "resume_antijoin": _q_resume_antijoin,
@@ -1343,6 +1361,16 @@ FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
 GROUP BY token
 ORDER BY tf DESC, token
 LIMIT 200""",
+        "normalize_text": """
+WITH dec AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 5 = 0
+                      THEN ' cafe' || chr(769) || ' ' || chr(64257) || 'n'
+                      ELSE '' END AS text
+  FROM documents)
+SELECT doc_id, nfc_normalize(text) AS norm_text,
+       nfc_normalize(text) <> text AS changed
+FROM dec""",
         "collocations": """
 WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
 uni AS (SELECT u.tok, count(*)::bigint AS n

@@ -153,7 +153,8 @@ def main() -> None:
             lambda *_: host_graph(links_t), None, reps=2)
         for name, reps in (("dedup_substrings", 1), ("chunk_docs", 2),
                            ("quality_classifier", 2),
-                           ("collocations", 2)):
+                           ("collocations", 2),
+                           ("normalize_text", 2)):
             queries[name] = time_query(qmap[name], spark, sf_dir,
                                        reps=reps)
 

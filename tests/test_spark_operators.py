@@ -1141,3 +1141,24 @@ def test_collocations_exact_dice_and_take_ordered(spark):
     assert got == want[:5]
     # "new york" must be the top collocation of this corpus
     assert got[0][0] == "new york"
+
+
+def test_normalize_text_nfc(spark):
+    """Composition rewrites decomposed sequences; NFC leaves
+    compatibility ligatures alone; ASCII passes through with
+    changed=False (the fast path)."""
+    from html_parser_spark.operators import normalize
+
+    rows = [
+        (1, "plain ascii stays"),
+        (2, "café decomposed"),
+        (3, "café already composed"),
+        (4, "ﬁn ligature untouched by NFC"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["norm_text"], r["changed"])
+           for r in normalize.normalize_text(docs).collect()}
+    assert got[1] == ("plain ascii stays", False)
+    assert got[2] == ("café decomposed", True)
+    assert got[3] == ("café already composed", False)
+    assert got[4] == ("ﬁn ligature untouched by NFC", False)
