@@ -126,6 +126,33 @@ g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
 """
 
 
+def _cc_lab_ctes() -> str:
+    """Shared CTE chain: capped 3-gram Jaccard pairs → symmetric edge
+    list → recursive-CTE transitive closure → min-label table ``lab``.
+    One oracle recipe for every query built on the production near-dup
+    component labels (dedup_clusters, dedup_clusters_star,
+    dedup_representatives) so the independent recompute can't drift.
+    Callers prepend ``WITH RECURSIVE``."""
+    return f"""{_SHINGLE_CTE},
+keep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 20),
+gc AS (SELECT g.doc_id, g.gram FROM g JOIN keep USING (gram)),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM gc GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM gc a JOIN gc b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT doc_a, doc_b
+          FROM inter JOIN sizes sa ON inter.doc_a = sa.doc_id
+                     JOIN sizes sb ON inter.doc_b = sb.doc_id
+          WHERE 100 * inter >= 60 * (sa.n_grams + sb.n_grams - inter)),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(u, r) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+    SELECT e.u, t.r FROM edges e JOIN reach t ON t.u = e.v),
+lab AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u)"""
+
+
 def _minhash_sig_cte() -> str:
     hb = duckdb_base_hash("gram")
     mins = ", ".join(f"min({minhash_term(i, hb)}) AS sig_{i}"
@@ -1012,6 +1039,48 @@ def _q_dedup_clusters_chain(spark, sf_dir):
     return clusters.dedup_clusters(chain, algorithm="star")
 
 
+def _q_dedup_representatives(spark, sf_dir):
+    """The keep-list a pretraining pipeline actually materializes:
+    component labels over the production capped-Jaccard pairs, joined
+    back onto the WHOLE corpus (singletons kept), with the
+    quality-aware representative pick (longest text wins, min doc_id
+    tiebreak) instead of dedup_clusters' min-id convention. Oracle:
+    same recursive-CTE closure + an identically-ordered first_value
+    window — independent algorithm, same fixpoint + pick."""
+    from html_parser_spark.operators import clusters
+    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), n=3, min_pct=60,
+                                max_doc_freq=20)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("long").alias("quality"))
+    return clusters.dedup_representatives(pairs, docs, "quality")
+
+
+def _q_snapshot_diff(spark, sf_dir):
+    """Re-crawl CDC: diff two deterministic snapshots of the pages
+    table. Snapshot B mutates A by closed-form doc_id rules — every
+    17th (mod 5) url dropped (gone), every 5th (mod 0) html appended
+    to (changed), every 19th (mod 7) re-published under a ?v=2 url
+    (new) — so the expected per-url status is pure CASE arithmetic
+    over ``documents`` while the Spark side really full-outer-joins
+    16-byte content digests (never page bytes). The doc_id
+    re-derivation from the url is fixture scaffolding, not part of
+    the operator."""
+    from html_parser_spark.operators.snapshots import snapshot_diff
+    old = pages_df(spark, sf_dir).select("url", "html")
+    did = F.regexp_extract("url", r"doc(\d{8})\.html", 1).cast("long")
+    base = old.withColumn("_id", did)
+    survivors = base.filter(F.col("_id") % 17 != 5)
+    mutated = survivors.withColumn(
+        "html",
+        F.when(F.col("_id") % 5 == 0,
+               F.concat(F.col("html"), F.lit(b"<!--r2-->")))
+         .otherwise(F.col("html")))
+    fresh = (base.filter(F.col("_id") % 19 == 7)
+             .withColumn("url", F.concat(F.col("url"), F.lit("?v=2"))))
+    new = mutated.unionByName(fresh).select("url", "html")
+    return snapshot_diff(old, new)
+
+
 def _q_url_dedup(spark, sf_dir):
     """Crawl-frontier canonicalization: deterministically synthesize
     the messy spellings a crawler actually sees (tracking params,
@@ -1146,6 +1215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_star": _q_dedup_clusters_star,
         "dedup_clusters_chain": _q_dedup_clusters_chain,
+        "dedup_representatives": _q_dedup_representatives,
+        "snapshot_diff": _q_snapshot_diff,
     }
 
 
@@ -1681,28 +1752,28 @@ SELECT canon AS url,
        min(raw) AS first_raw
 FROM n GROUP BY canon""",
         "dedup_clusters": f"""
-WITH RECURSIVE {_SHINGLE_CTE},
-keep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 20),
-gc AS (SELECT g.doc_id, g.gram FROM g JOIN keep USING (gram)),
-sizes AS (SELECT doc_id, count(*) AS n_grams FROM gc GROUP BY doc_id),
-inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-          FROM gc a JOIN gc b ON a.gram = b.gram AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
-pairs AS (SELECT doc_a, doc_b
-          FROM inter JOIN sizes sa ON inter.doc_a = sa.doc_id
-                     JOIN sizes sb ON inter.doc_b = sb.doc_id
-          WHERE 100 * inter >= 60 * (sa.n_grams + sb.n_grams - inter)),
-edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-          UNION SELECT doc_b, doc_a FROM pairs),
-reach(u, r) AS (
-    SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
-  UNION
-    SELECT e.u, t.r FROM edges e JOIN reach t ON t.u = e.v),
-lab AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u)
+WITH RECURSIVE {_cc_lab_ctes()}
 SELECT doc_id::bigint AS doc_id, cluster_id::bigint AS cluster_id,
        (count(*) OVER (PARTITION BY cluster_id))::bigint AS cluster_size,
        (doc_id = cluster_id) AS is_kept
 FROM lab""",
+        # the full-corpus keep-list: every document LEFT-joined onto
+        # the same component labels; representative = highest quality
+        # (text length), ties to smallest doc_id — first_value over the
+        # identically-ordered window on both engines
+        "dedup_representatives": f"""
+WITH RECURSIVE {_cc_lab_ctes()},
+q AS (SELECT doc_id, len(text)::bigint AS q FROM documents),
+fl AS (SELECT q.doc_id, coalesce(lab.cluster_id, q.doc_id) AS cluster_id,
+              q.q
+       FROM q LEFT JOIN lab ON lab.doc_id = q.doc_id),
+rep AS (SELECT doc_id, cluster_id,
+               first_value(doc_id) OVER (PARTITION BY cluster_id
+                   ORDER BY q DESC, doc_id ASC) AS rep_id
+        FROM fl)
+SELECT doc_id::bigint AS doc_id, cluster_id::bigint AS cluster_id,
+       rep_id::bigint AS rep_id, (doc_id = rep_id) AS is_kept
+FROM rep""",
         # chain graph: the transitive closure of a path over all
         # doc_ids is closed-form — one component, min doc_id as label
         "dedup_clusters_chain": """
@@ -1711,6 +1782,23 @@ mn AS (SELECT min(doc_id) AS m, count(*)::bigint AS c FROM n)
 SELECT doc_id::bigint AS doc_id, m::bigint AS cluster_id,
        c AS cluster_size, (doc_id = m) AS is_kept
 FROM n, mn""",
+        # re-crawl CDC: snapshot B's mutations are closed-form doc_id
+        # rules (gone/changed/new — keep in lockstep with
+        # _q_snapshot_diff), so the expected status per url is CASE
+        # arithmetic; the Spark side really compares content digests
+        "snapshot_diff": """
+WITH u AS (SELECT doc_id,
+                  'https://example.org/' || source || '/doc' ||
+                  lpad(doc_id::varchar, 8, '0') || '.html' AS url
+           FROM documents)
+SELECT url,
+       CASE WHEN doc_id % 17 = 5 THEN 'gone'
+            WHEN doc_id % 5 = 0 THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM u
+UNION ALL
+SELECT url || '?v=2' AS url, 'new' AS status
+FROM u WHERE doc_id % 19 = 7""",
     }
     # both CC algorithms must compute the SAME fixpoint on the
     # production near-dup graph: the star variant pins against the

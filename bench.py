@@ -154,7 +154,9 @@ def main() -> None:
         for name, reps in (("dedup_substrings", 1), ("chunk_docs", 2),
                            ("quality_classifier", 2),
                            ("collocations", 2),
-                           ("normalize_text", 2)):
+                           ("normalize_text", 2),
+                           ("dedup_representatives", 1),
+                           ("snapshot_diff", 2)):
             queries[name] = time_query(qmap[name], spark, sf_dir,
                                        reps=reps)
 

@@ -191,3 +191,56 @@ def dedup_clusters(pairs: DataFrame, src: str = "doc_a",
             .select("doc_id", "cluster_id", "cluster_size",
                     (F.col("doc_id") == F.col("cluster_id"))
                     .alias("is_kept")))
+
+
+def dedup_representatives(pairs: DataFrame, docs: DataFrame,
+                          quality_col: str = "quality",
+                          algorithm: str = "label") -> DataFrame:
+    """Quality-aware canonical-document selection — the full-corpus
+    keep-list a training pipeline actually materializes.
+
+    ``dedup_clusters`` keeps each cluster's min-id document; real
+    pipelines keep the *best* copy (longest text, highest quality
+    score — the min-id copy is often the truncated or boilerplate
+    variant). This operator joins the component labels back onto the
+    whole corpus and picks, per cluster, the document maximizing
+    ``quality_col`` (ties broken by smallest ``doc_id`` — fully
+    deterministic, so re-runs produce byte-identical keep-lists, the
+    resumability property ``plans/pipeline.py`` relies on).
+
+    Output: one row per **corpus** document (not just paired ones):
+    ``(doc_id, cluster_id, rep_id, is_kept)``. Documents in no pair
+    are their own singleton cluster and are always kept — the output
+    is the complete filter table, anti-joinable against the corpus in
+    one pass.
+
+    Scale shape: the component labels come from the selected CC
+    algorithm (see module doc); the rep pick adds one left join on
+    ``doc_id`` (label table is |paired docs| rows — tiny next to the
+    corpus) and one window over ``cluster_id`` whose partitions are
+    near-dup clusters — bounded by the pair generators' hot-key caps,
+    so no skew surface. Only ``(doc_id, cluster_id, quality)`` rows
+    ever shuffle, never text.
+    """
+    from pyspark.sql import Window
+
+    if algorithm == "star":
+        lab = connected_components_star(pairs)
+    elif algorithm == "label":
+        lab = connected_components(pairs)
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}: "
+                         "expected 'label' or 'star'")
+    full = (docs.select(F.col("doc_id").cast("long"),
+                        F.col(quality_col).alias("_q"))
+            .join(lab, "doc_id", "left")
+            .withColumn("cluster_id",
+                        F.coalesce("cluster_id", "doc_id")))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_q").desc(), F.col("doc_id").asc())
+    return (full
+            .withColumn("rep_id",
+                        F.first("doc_id").over(w).cast("long"))
+            .select("doc_id", "cluster_id", "rep_id",
+                    (F.col("doc_id") == F.col("rep_id"))
+                    .alias("is_kept")))

@@ -818,6 +818,60 @@ def test_star_round_plan_shape(spark):
         assert plan.count("Exchange hashpartitioning") <= 2, plan
 
 
+def test_dedup_representatives_quality_pick(spark):
+    """Quality-aware keep-list: the representative is the cluster's
+    highest-quality doc (NOT the min id), ties break to the smaller
+    doc_id, singletons are their own kept cluster, and the output
+    covers the whole corpus."""
+    from html_parser_spark.operators import clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3),          # cluster {1,2,3}: best quality is 3
+         (10, 11)],               # cluster {10,11}: quality tie
+        ["doc_a", "doc_b"])
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 20), (10, 7), (11, 7), (99, 1)],
+        ["doc_id", "quality"])
+    out = clusters.dedup_representatives(pairs, docs).collect()
+    rep = {r["doc_id"]: r["rep_id"] for r in out}
+    kept = {r["doc_id"] for r in out if r["is_kept"]}
+    assert len(out) == 6
+    assert rep[1] == rep[2] == rep[3] == 3          # max quality wins
+    assert rep[10] == rep[11] == 10                  # tie -> min doc_id
+    assert rep[99] == 99                             # singleton kept
+    assert kept == {3, 10, 99}
+    lab = {r["doc_id"]: r["cluster_id"] for r in out}
+    assert lab[3] == 1 and lab[99] == 99             # min-label ids
+    # star algorithm computes the identical keep-list
+    star = clusters.dedup_representatives(pairs, docs,
+                                          algorithm="star").collect()
+    assert sorted(map(tuple, star)) == sorted(map(tuple, out))
+    with pytest.raises(ValueError):
+        clusters.dedup_representatives(pairs, docs, algorithm="Label")
+
+
+def test_snapshot_diff_statuses(spark):
+    """All four CDC statuses from a planted two-snapshot fixture, and
+    the join plan compares digests, never content bytes."""
+    from html_parser_spark.operators.snapshots import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("u1", b"same"), ("u2", b"before"), ("u3", b"dropped")],
+        ["url", "html"])
+    new = spark.createDataFrame(
+        [("u1", b"same"), ("u2", b"after"), ("u4", b"fresh")],
+        ["url", "html"])
+    out = snapshot_diff(old, new)
+    got = {r["url"]: r["status"] for r in out.collect()}
+    assert got == {"u1": "unchanged", "u2": "changed",
+                   "u3": "gone", "u4": "new"}
+    # scale shape: md5 is computed BELOW the exchange (map side), so
+    # the shuffled rows carry 16-byte digests, never page bytes
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "md5" in plan and "Exchange" in plan
+    assert plan.index("Exchange") < plan.index("md5"), plan
+
+
 def test_harvest_anchors_units():
     """DOM-level anchor harvesting: tree order, missing-href skip,
     foreign-namespace <a> skip (an SVG <a> is not an html link), text
