@@ -1440,7 +1440,7 @@ WITH dec AS (
                       ELSE '' END AS text
   FROM documents)
 SELECT doc_id, nfc_normalize(text) AS norm_text,
-       nfc_normalize(text) <> text AS changed
+       coalesce(nfc_normalize(text) <> text, false) AS changed
 FROM dec""",
         "collocations": """
 WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),

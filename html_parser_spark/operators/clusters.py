@@ -214,13 +214,15 @@ def dedup_representatives(pairs: DataFrame, docs: DataFrame,
     is the complete filter table, anti-joinable against the corpus in
     one pass.
 
-    Scale shape: the component labels come from the selected CC
-    algorithm (see module doc); the rep pick adds one left join on
-    ``doc_id`` (label table is |paired docs| rows — tiny next to the
-    corpus) and one window over ``cluster_id`` whose partitions are
-    near-dup clusters — bounded by the pair generators' hot-key caps,
-    so no skew surface. Only ``(doc_id, cluster_id, quality)`` rows
-    ever shuffle, never text.
+    Scale shape: the rep pick runs on the LABEL table only (|paired
+    docs| rows — tiny next to the corpus: its window never touches
+    unpaired documents, whose rep is trivially themselves), then two
+    left joins carry ``(cluster_id, rep_id)`` back onto the corpus —
+    both join the full corpus against paired-docs-sized tables, so AQE
+    broadcasts them and the corpus never shuffles. Window partitions
+    are near-dup clusters, bounded by the pair generators' hot-key
+    caps — no skew surface. Only ``(doc_id, cluster_id, quality)``
+    rows ever move, never text.
     """
     from pyspark.sql import Window
 
@@ -231,16 +233,20 @@ def dedup_representatives(pairs: DataFrame, docs: DataFrame,
     else:
         raise ValueError(f"unknown algorithm {algorithm!r}: "
                          "expected 'label' or 'star'")
-    full = (docs.select(F.col("doc_id").cast("long"),
-                        F.col(quality_col).alias("_q"))
-            .join(lab, "doc_id", "left")
-            .withColumn("cluster_id",
-                        F.coalesce("cluster_id", "doc_id")))
+    q = docs.select(F.col("doc_id").cast("long"),
+                    F.col(quality_col).alias("_q"))
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("_q").desc(), F.col("doc_id").asc())
-    return (full
-            .withColumn("rep_id",
-                        F.first("doc_id").over(w).cast("long"))
-            .select("doc_id", "cluster_id", "rep_id",
-                    (F.col("doc_id") == F.col("rep_id"))
+    reps = (lab.join(q, "doc_id")
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("cluster_id", F.col("doc_id").alias("rep_id")))
+    return (q.join(lab, "doc_id", "left")
+            .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+            .join(reps, "cluster_id", "left")
+            .select("doc_id",
+                    F.col("cluster_id").cast("long").alias("cluster_id"),
+                    F.coalesce("rep_id", "doc_id").cast("long")
+                    .alias("rep_id"),
+                    (F.col("doc_id") == F.coalesce("rep_id", "doc_id"))
                     .alias("is_kept")))

@@ -47,7 +47,10 @@ def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # before any SparkSession exists (spark-submit --py-files order)
     nfc = pandas_udf(_nfc_batch, "string")
     norm = nfc(F.col(text_col))
+    # coalesce: a NULL-text doc was not rewritten — changed must be
+    # False, not NULL, or audit counts won't sum to the doc count
     return docs.select(
         "doc_id",
         norm.alias("norm_text"),
-        (norm != F.col(text_col)).alias("changed"))
+        F.coalesce(norm != F.col(text_col), F.lit(False))
+        .alias("changed"))

@@ -38,15 +38,25 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str = "url",
     """(url, status) change classification between two crawl snapshots.
 
     ``old``/``new`` carry at least ``key`` and ``content_col``; the
-    content column may be binary or string (md5 accepts both). The
+    content column may be binary or string (md5 accepts both) and may
+    be NULL (a failed fetch recorded with an empty body): presence is
+    tracked by explicit flags, and NULL contents compare null-safely
+    (NULL→NULL is ``unchanged``, NULL→bytes is ``changed``). The
     caller guarantees ``key`` is unique within each snapshot (true for
     crawl stores keyed by url).
     """
-    a = old.select(F.col(key), F.md5(F.col(content_col)).alias("h_old"))
-    b = new.select(F.col(key), F.md5(F.col(content_col)).alias("h_new"))
+    # explicit presence flags: a NULL content cell (a crawl store may
+    # record a failed fetch as a NULL body) must read as a present row
+    # with a NULL digest, not as row absence — digest nullness alone
+    # would tombstone live urls
+    a = old.select(F.col(key), F.md5(F.col(content_col)).alias("h_old"),
+                   F.lit(True).alias("in_old"))
+    b = new.select(F.col(key), F.md5(F.col(content_col)).alias("h_new"),
+                   F.lit(True).alias("in_new"))
     j = a.join(b, key, "full_outer")
-    status = (F.when(F.col("h_new").isNull(), F.lit("gone"))
-               .when(F.col("h_old").isNull(), F.lit("new"))
-               .when(F.col("h_old") == F.col("h_new"), F.lit("unchanged"))
+    status = (F.when(F.col("in_new").isNull(), F.lit("gone"))
+               .when(F.col("in_old").isNull(), F.lit("new"))
+               .when(F.col("h_old").eqNullSafe(F.col("h_new")),
+                     F.lit("unchanged"))
                .otherwise(F.lit("changed")))
     return j.select(F.col(key), status.alias("status"))

@@ -856,15 +856,20 @@ def test_snapshot_diff_statuses(spark):
     from html_parser_spark.operators.snapshots import snapshot_diff
 
     old = spark.createDataFrame(
-        [("u1", b"same"), ("u2", b"before"), ("u3", b"dropped")],
+        [("u1", b"same"), ("u2", b"before"), ("u3", b"dropped"),
+         ("u5", None), ("u6", None)],
         ["url", "html"])
     new = spark.createDataFrame(
-        [("u1", b"same"), ("u2", b"after"), ("u4", b"fresh")],
+        [("u1", b"same"), ("u2", b"after"), ("u4", b"fresh"),
+         ("u5", b"refetched"), ("u6", None)],
         ["url", "html"])
     out = snapshot_diff(old, new)
     got = {r["url"]: r["status"] for r in out.collect()}
+    # u5/u6: a NULL body is a PRESENT row (failed fetch), not absence —
+    # NULL→bytes is changed, NULL→NULL is unchanged, never new/gone
     assert got == {"u1": "unchanged", "u2": "changed",
-                   "u3": "gone", "u4": "new"}
+                   "u3": "gone", "u4": "new",
+                   "u5": "changed", "u6": "unchanged"}
     # scale shape: md5 is computed BELOW the exchange (map side), so
     # the shuffled rows carry 16-byte digests, never page bytes
     plan = out._jdf.queryExecution().executedPlan().toString()
@@ -1208,6 +1213,7 @@ def test_normalize_text_nfc(spark):
         (2, "café decomposed"),
         (3, "café already composed"),
         (4, "ﬁn ligature untouched by NFC"),
+        (5, None),
     ]
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     got = {r["doc_id"]: (r["norm_text"], r["changed"])
@@ -1216,3 +1222,6 @@ def test_normalize_text_nfc(spark):
     assert got[2] == ("café decomposed", True)
     assert got[3] == ("café already composed", False)
     assert got[4] == ("ﬁn ligature untouched by NFC", False)
+    # a NULL-text doc was not rewritten: changed is False, not NULL,
+    # so audit counts sum to the doc count
+    assert got[5] == (None, False)
