@@ -960,6 +960,14 @@ def _q_collocations(spark, sf_dir):
                                   k=100)
 
 
+def _q_tfidf_keywords(spark, sf_dir):
+    """Per-doc keyword extraction: top-3 tokens by the integer-exact
+    tf/df score (1e6·tf DIV df) with (score desc, token asc)
+    tiebreak — deterministic, so row_number() agrees across engines
+    and partitionings."""
+    return textstats.tfidf_keywords(_docs(spark, sf_dir), k=3)
+
+
 def _q_repetition_stats(spark, sf_dir):
     # Gopher-style repetition features — zero-shuffle narrow map
     # (sorted-bigram run-length scan); the oracle recomputes the mode
@@ -1217,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_chain": _q_dedup_clusters_chain,
         "dedup_representatives": _q_dedup_representatives,
         "snapshot_diff": _q_snapshot_diff,
+        "tfidf_keywords": _q_tfidf_keywords,
     }
 
 
@@ -1799,6 +1808,23 @@ FROM u
 UNION ALL
 SELECT url || '?v=2' AS url, 'new' AS status
 FROM u WHERE doc_id % 19 = 7""",
+        # integer-exact tf/df keyword score; // floors == Spark DIV
+        # truncates on the non-negative domain, and the (score desc,
+        # token asc) key is unique per doc so row_number() agrees
+        "tfidf_keywords": """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents),
+tf AS (SELECT doc_id, token, count(*)::bigint AS tf
+       FROM toks GROUP BY 1, 2),
+df AS (SELECT token, count(*)::bigint AS df FROM tf GROUP BY 1),
+s AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             ((1000000 * tf.tf) // df.df)::bigint AS score_ppm
+      FROM tf JOIN df USING (token)),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY score_ppm DESC, token ASC) AS rank
+      FROM s)
+SELECT doc_id, token, tf, df, score_ppm, rank::bigint AS rank
+FROM r WHERE rank <= 3""",
     }
     # both CC algorithms must compute the SAME fixpoint on the
     # production near-dup graph: the star variant pins against the

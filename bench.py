@@ -156,7 +156,8 @@ def main() -> None:
                            ("collocations", 2),
                            ("normalize_text", 2),
                            ("dedup_representatives", 1),
-                           ("snapshot_diff", 2)):
+                           ("snapshot_diff", 2),
+                           ("tfidf_keywords", 2)):
             queries[name] = time_query(qmap[name], spark, sf_dir,
                                        reps=reps)
 

@@ -178,6 +178,52 @@ def rarity_stats(docs: DataFrame, rare_max_count: int = 2,
                        .otherwise(0)).cast("long").alias("n_rare")))
 
 
+def tfidf_keywords(docs: DataFrame, k: int = 3,
+                   broadcast_vocab: bool = False) -> DataFrame:
+    """Per-document keyword extraction: top-``k`` tokens by an
+    integer-exact TF-IDF stand-in — ``score_ppm = 1_000_000 * tf DIV
+    df`` (term frequency in the doc over the token's document
+    frequency corpus-wide). Monotone in tf·(1/df), so it ranks like
+    tf-idf without log-domain floats — the same fixed-point discipline
+    as host_rank/collocations, which is what keeps the DuckDB twin
+    bit-identical across engines and partitionings. Ties break
+    (score desc, token asc): fully deterministic output.
+
+    Returns (doc_id, token, tf, df, score_ppm, rank) for rank ≤ k —
+    the doc-tagging / retrieval-training feature a curation pipeline
+    logs next to its quality scores.
+
+    Scale shape: one explode+groupBy builds the (doc_id, token) tf
+    table (map-side partial agg; exchange carries per-partition
+    DISTINCT (doc,token) pairs); df re-aggregates THAT table by token
+    (a second vocabulary-bounded exchange, never the raw stream); the
+    tf⋈df equi-join stays a shuffle join by default (web-scale
+    vocabulary outgrows the driver — ``broadcast_vocab=True`` for
+    bounded vocabularies); the top-k window partitions by doc_id,
+    bounded by per-doc distinct tokens. No corpus text moves past the
+    first exchange.
+    """
+    from pyspark.sql import Window
+
+    tf = (docs.select("doc_id",
+                      F.explode(F.split(F.col("text"), " ")).alias("token"))
+          .groupBy("doc_id", "token")
+          .agg(F.count("*").cast("long").alias("tf")))
+    df = (tf.groupBy("token")
+          .agg(F.count("*").cast("long").alias("df")))
+    if broadcast_vocab:
+        df = F.broadcast(df)
+    scored = (tf.join(df, "token")
+              .withColumn("score_ppm",
+                          F.expr("1000000 * tf DIV df").cast("long")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_ppm").desc(), F.col("token").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("doc_id", "token", "tf", "df", "score_ppm",
+                    F.col("rank").cast("long").alias("rank")))
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """(doc_id, lang_pred): 'en' if stopword tokens ≥ threshold% else
     'unk'. Integer comparison form keeps it oracle-exact."""

@@ -850,6 +850,36 @@ def test_dedup_representatives_quality_pick(spark):
         clusters.dedup_representatives(pairs, docs, algorithm="Label")
 
 
+def test_tfidf_keywords_ranking(spark):
+    """Integer tf/df scoring: a corpus-unique token outranks a
+    frequent one even at lower tf; ties break token-ascending; rank
+    cuts at k; hand-recomputed scores match."""
+    from html_parser_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "common common common unique zz zz"),
+         (2, "common zz"),
+         (3, "common other")],
+        ["doc_id", "text"])
+    out = textstats.tfidf_keywords(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["token"], r["tf"], r["df"], r["score_ppm"]))
+    for v in by_doc.values():
+        v.sort()
+    # doc 1: unique tf=1 df=1 → 1_000_000; zz tf=2 df=2 → 1_000_000
+    # (tie → token asc puts 'unique' first); common tf=3 df=3 → 1e6
+    # three-way score tie: 'common' < 'unique' < 'zz'
+    assert by_doc[1] == [(1, "common", 3, 3, 1_000_000),
+                         (2, "unique", 1, 1, 1_000_000)]
+    # doc 2: zz tf=1 df=2 → 500_000 beats common tf=1 df=3 → 333_333
+    assert by_doc[2] == [(1, "zz", 1, 2, 500_000),
+                         (2, "common", 1, 3, 333_333)]
+    assert by_doc[3][0] == (1, "other", 1, 1, 1_000_000)
+    assert all(len(v) <= 2 for v in by_doc.values())
+
+
 def test_snapshot_diff_statuses(spark):
     """All four CDC statuses from a planted two-snapshot fixture, and
     the join plan compares digests, never content bytes."""
