@@ -1063,18 +1063,16 @@ def _q_dedup_representatives(spark, sf_dir):
     return clusters.dedup_representatives(pairs, docs, "quality")
 
 
-def _q_snapshot_diff(spark, sf_dir):
-    """Re-crawl CDC: diff two deterministic snapshots of the pages
-    table. Snapshot B mutates A by closed-form doc_id rules — every
-    17th (mod 5) url dropped (gone), every 5th (mod 0) html appended
-    to (changed), every 19th (mod 7) re-published under a ?v=2 url
-    (new) — so the expected per-url status is pure CASE arithmetic
-    over ``documents`` while the Spark side really full-outer-joins
-    16-byte content digests (never page bytes). The doc_id
-    re-derivation from the url is fixture scaffolding, not part of
-    the operator."""
-    from html_parser_spark.operators.snapshots import snapshot_diff
-    old = pages_df(spark, sf_dir).select("url", "html")
+def _snapshot_b(old):
+    """Deterministic re-crawl snapshot B from snapshot A (closed-form
+    doc_id rules, mirrored in the snapshot_diff / incremental_recrawl
+    oracles — keep in lockstep): every 17th (mod 5) url dropped
+    (gone), every 5th (mod 0) html gets a trailing comment appended
+    (changed — content bytes differ, extracted text doesn't, and the
+    %5 set only hits ASCII-compatible encoding variants 0/5 so the
+    appended ASCII bytes are codec-safe), every 19th (mod 7)
+    re-published under a ?v=2 url (new). The doc_id re-derivation
+    from the url is fixture scaffolding, not part of any operator."""
     did = F.regexp_extract("url", r"doc(\d{8})\.html", 1).cast("long")
     base = old.withColumn("_id", did)
     survivors = base.filter(F.col("_id") % 17 != 5)
@@ -1085,8 +1083,36 @@ def _q_snapshot_diff(spark, sf_dir):
          .otherwise(F.col("html")))
     fresh = (base.filter(F.col("_id") % 19 == 7)
              .withColumn("url", F.concat(F.col("url"), F.lit("?v=2"))))
-    new = mutated.unionByName(fresh).select("url", "html")
-    return snapshot_diff(old, new)
+    return mutated.unionByName(fresh).select("url", "html")
+
+
+def _q_snapshot_diff(spark, sf_dir):
+    """Re-crawl CDC: diff two deterministic snapshots of the pages
+    table (see _snapshot_b) — the expected per-url status is pure
+    CASE arithmetic over ``documents`` while the Spark side really
+    full-outer-joins 16-byte content digests (never page bytes)."""
+    from html_parser_spark.operators.snapshots import snapshot_diff
+    old = pages_df(spark, sf_dir).select("url", "html")
+    return snapshot_diff(old, _snapshot_b(old))
+
+
+def _q_incremental_recrawl(spark, sf_dir):
+    """The north-rule resumability story composed end-to-end: diff
+    the two snapshots by content digest, run the production
+    skew-isolated parse kernel ONLY over changed∪new urls, carry the
+    committed extraction forward for unchanged urls (digest equality
+    ⇒ byte-identical html ⇒ identical extraction — the extractor is a
+    pure function of the bytes), drop gone urls. The committed side
+    is the corpus's golden WET text column; the changed-doc mutation
+    is a trailing comment, so the re-parsed text must STILL match the
+    closed-form oracle byte-for-byte — pinning that the incremental
+    path and the full parse agree. Oracle: expected text for exactly
+    the live urls of snapshot B."""
+    from html_parser_spark.plans.pipeline import incremental_extract
+    pages = pages_df(spark, sf_dir)
+    old = pages.select("url", "html")
+    committed = pages.select("url", "text")
+    return incremental_extract(old, _snapshot_b(old), committed)
 
 
 def _q_url_dedup(spark, sf_dir):
@@ -1225,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_chain": _q_dedup_clusters_chain,
         "dedup_representatives": _q_dedup_representatives,
         "snapshot_diff": _q_snapshot_diff,
+        "incremental_recrawl": _q_incremental_recrawl,
         "tfidf_keywords": _q_tfidf_keywords,
     }
 
@@ -1808,6 +1835,15 @@ FROM u
 UNION ALL
 SELECT url || '?v=2' AS url, 'new' AS status
 FROM u WHERE doc_id % 19 = 7""",
+        # snapshot B's live urls with the full closed-form expected
+        # extraction: the incremental path (parse changed∪new, carry
+        # unchanged) must equal what a full re-parse would produce
+        "incremental_recrawl": f"""
+SELECT {URL_SQL} AS url, {TEXT_SQL} AS text FROM documents
+WHERE doc_id % 17 <> 5
+UNION ALL
+SELECT {URL_SQL} || '?v=2' AS url, {TEXT_SQL} AS text FROM documents
+WHERE doc_id % 19 = 7""",
         # integer-exact tf/df keyword score; // floors == Spark DIV
         # truncates on the non-negative domain, and the (score desc,
         # token asc) key is unique per doc so row_number() agrees

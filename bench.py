@@ -157,7 +157,8 @@ def main() -> None:
                            ("normalize_text", 2),
                            ("dedup_representatives", 1),
                            ("snapshot_diff", 2),
-                           ("tfidf_keywords", 2)):
+                           ("tfidf_keywords", 2),
+                           ("incremental_recrawl", 1)):
             queries[name] = time_query(qmap[name], spark, sf_dir,
                                        reps=reps)
 

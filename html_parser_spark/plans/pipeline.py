@@ -143,6 +143,44 @@ def resume_filter(pages: DataFrame, output_path: str) -> DataFrame:
     return pages.join(done, "url", "left_anti")
 
 
+def incremental_extract(old: DataFrame, new: DataFrame,
+                        old_extracted: DataFrame,
+                        giant_partitions: int = 64) -> DataFrame:
+    """Re-crawl incremental extraction — parse only what changed.
+
+    Given the previous crawl snapshot ``old``, the fresh snapshot
+    ``new`` (both ``(url, html)``), and the committed extraction of
+    the previous crawl ``old_extracted`` (``(url, text)`` — on a real
+    store, the output table ``run_extraction`` wrote), produce the
+    full ``(url, text)`` extraction of the NEW snapshot while running
+    the parse kernel only over ``changed ∪ new`` urls:
+
+    - ``operators.snapshots.snapshot_diff`` classifies urls by
+      16-byte content digests (no page bytes shuffle);
+    - changed/new pages go through the production skew-isolated parse;
+    - unchanged urls carry their committed text forward with one
+      url equi-join (digest equality guarantees byte-identical html,
+      and the extractor is a pure function of the bytes);
+    - ``gone`` urls simply drop out.
+
+    At a ~90%-unchanged re-crawl this turns a 100 TB parse into a
+    ~10 TB one plus two narrow joins — the batch analogue of the
+    checkpoint-resume path (``resume_filter``), driven by content
+    change instead of commit state.
+    """
+    from ..operators.snapshots import snapshot_diff
+
+    diff = snapshot_diff(old, new)
+    work = (diff.where(F.col("status").isin("changed", "new"))
+            .select("url"))
+    to_parse = new.select("url", "html").join(work, "url")
+    parsed = extract_pages(skew_isolate(to_parse, giant_partitions),
+                           with_spans=False).select("url", "text")
+    keep = diff.where(F.col("status") == "unchanged").select("url")
+    carried = old_extracted.select("url", "text").join(keep, "url")
+    return parsed.unionByName(carried)
+
+
 def run_extraction(spark: SparkSession, pages: DataFrame, output_path: str,
                    num_partitions: int | None = None, resume: bool = True,
                    with_spans: bool = True, plan: str = "isolate") -> dict:

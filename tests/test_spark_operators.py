@@ -850,6 +850,37 @@ def test_dedup_representatives_quality_pick(spark):
         clusters.dedup_representatives(pairs, docs, algorithm="Label")
 
 
+def test_incremental_extract_parses_only_changes(spark):
+    """Re-crawl incremental extraction: unchanged urls carry the
+    committed text (sentinel proves no re-parse), changed/new urls
+    get the real parse of the NEW bytes, gone urls drop out."""
+    from html_parser_spark.operators.extract import extract_pages
+    from html_parser_spark.plans.pipeline import incremental_extract
+
+    old = spark.createDataFrame(
+        [("u1", b"<p>one</p>"), ("u2", b"<p>two</p>"),
+         ("u3", b"<p>three</p>")], ["url", "html"])
+    new = spark.createDataFrame(
+        [("u1", b"<p>one</p>"),          # unchanged bytes
+         ("u2", b"<p>two-revised</p>"),  # changed
+         ("u4", b"<p>four</p>")],        # new url
+        ["url", "html"])
+    committed = spark.createDataFrame(
+        [("u1", "SENTINEL-u1"), ("u2", "SENTINEL-u2"),
+         ("u3", "SENTINEL-u3")], ["url", "text"])
+    got = {r["url"]: r["text"]
+           for r in incremental_extract(old, new, committed,
+                                        giant_partitions=2).collect()}
+    direct = {r["url"]: r["text"]
+              for r in extract_pages(new, with_spans=False)
+              .select("url", "text").collect()}
+    assert got["u1"] == "SENTINEL-u1"   # carried — the kernel never ran
+    assert got["u2"] == direct["u2"]    # re-parsed from the new bytes
+    assert got["u4"] == direct["u4"]
+    assert "u3" not in got              # gone
+    assert len(got) == 3
+
+
 def test_tfidf_keywords_ranking(spark):
     """Integer tf/df scoring: a corpus-unique token outranks a
     frequent one even at lower tf; ties break token-ascending; rank
