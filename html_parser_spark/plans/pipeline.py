@@ -156,27 +156,40 @@ def incremental_extract(old: DataFrame, new: DataFrame,
     the parse kernel only over ``changed ∪ new`` urls:
 
     - ``operators.snapshots.snapshot_diff`` classifies urls by
-      16-byte content digests (no page bytes shuffle);
+      16-byte content digests (the diff itself shuffles digests, not
+      page bytes; the tiny (url, status) result is persisted because
+      three consumers branch off it);
     - changed/new pages go through the production skew-isolated parse;
     - unchanged urls carry their committed text forward with one
       url equi-join (digest equality guarantees byte-identical html,
-      and the extractor is a pure function of the bytes);
+      and the extractor is a pure function of the bytes). An
+      unchanged url MISSING from ``old_extracted`` — the previous run
+      crashed between crawl commit and extraction commit, exactly the
+      partial-commit case the resume machinery exists for — is routed
+      into the parse set instead of being silently dropped;
     - ``gone`` urls simply drop out.
 
-    At a ~90%-unchanged re-crawl this turns a 100 TB parse into a
-    ~10 TB one plus two narrow joins — the batch analogue of the
-    checkpoint-resume path (``resume_filter``), driven by content
-    change instead of commit state.
+    At a ~90%-unchanged re-crawl the parse kernel — the actual cost —
+    runs over ~10% of bytes. The work-list ⋈ new-snapshot join is an
+    equi-join on url: broadcast when the change set is small, and
+    shuffle-free at 10^12 docs only if the crawl store is bucketed by
+    url (``write_bucketed``) — on an unbucketed store it degrades to
+    one corpus-sized exchange of the NEW snapshot, still strictly
+    cheaper than the full parse it replaces, but it is that layout,
+    not this operator, that keeps page bytes off the wire.
     """
     from ..operators.snapshots import snapshot_diff
 
-    diff = snapshot_diff(old, new)
+    diff = snapshot_diff(old, new).persist()
+    keep = diff.where(F.col("status") == "unchanged").select("url")
+    committed_urls = old_extracted.select("url")
+    missing = keep.join(committed_urls, "url", "left_anti")
     work = (diff.where(F.col("status").isin("changed", "new"))
-            .select("url"))
+            .select("url")
+            .unionByName(missing))
     to_parse = new.select("url", "html").join(work, "url")
     parsed = extract_pages(skew_isolate(to_parse, giant_partitions),
                            with_spans=False).select("url", "text")
-    keep = diff.where(F.col("status") == "unchanged").select("url")
     carried = old_extracted.select("url", "text").join(keep, "url")
     return parsed.unionByName(carried)
 

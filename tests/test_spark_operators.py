@@ -859,11 +859,13 @@ def test_incremental_extract_parses_only_changes(spark):
 
     old = spark.createDataFrame(
         [("u1", b"<p>one</p>"), ("u2", b"<p>two</p>"),
-         ("u3", b"<p>three</p>")], ["url", "html"])
+         ("u3", b"<p>three</p>"), ("u5", b"<p>five</p>")],
+        ["url", "html"])
     new = spark.createDataFrame(
         [("u1", b"<p>one</p>"),          # unchanged bytes
          ("u2", b"<p>two-revised</p>"),  # changed
-         ("u4", b"<p>four</p>")],        # new url
+         ("u4", b"<p>four</p>"),         # new url
+         ("u5", b"<p>five</p>")],        # unchanged but NOT committed
         ["url", "html"])
     committed = spark.createDataFrame(
         [("u1", "SENTINEL-u1"), ("u2", "SENTINEL-u2"),
@@ -877,8 +879,11 @@ def test_incremental_extract_parses_only_changes(spark):
     assert got["u1"] == "SENTINEL-u1"   # carried — the kernel never ran
     assert got["u2"] == direct["u2"]    # re-parsed from the new bytes
     assert got["u4"] == direct["u4"]
+    # partial-commit arm: unchanged but missing from the committed
+    # table must be parsed, never silently dropped
+    assert got["u5"] == direct["u5"]
     assert "u3" not in got              # gone
-    assert len(got) == 3
+    assert len(got) == 4
 
 
 def test_tfidf_keywords_ranking(spark):
