@@ -880,6 +880,23 @@ def _conformance_sql() -> str:
     return rows
 
 
+def _q_image_ahash(spark, sf_dir):
+    """Perceptual image near-dup signature: REAL PNG pixel decode
+    (IDAT inflate + all five scanline filters) + integer-exact 8×8
+    average hash per image. The oracle recomputes every pixel from
+    the generator's closed form (pixel k = md5('png:'||mid)[k % 16]),
+    re-derives the block/global means cross-multiplied, and rebuilds
+    the signed 64-bit hash — the whole decode+hash path is
+    value-verified bit-for-bit, so downstream hash-equality dedup
+    needs no further trust."""
+    media = multimodal.media_df_from_docs(spark, sf_dir)
+    return (multimodal.image_ahash(media)
+            .select("media_id",
+                    F.col("width").cast("long").alias("width"),
+                    F.col("height").cast("long").alias("height"),
+                    "ahash"))
+
+
 def _q_multimodal_decode(spark, sf_dir):
     """Binary media columns → decoded metadata via REAL stdlib codecs
     (PNG chunk walk + CRC, GIF block walk + frame count, RIFF/WAVE
@@ -1253,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _q_snapshot_diff,
         "incremental_recrawl": _q_incremental_recrawl,
         "tfidf_keywords": _q_tfidf_keywords,
+        "image_ahash": _q_image_ahash,
     }
 
 
@@ -1861,6 +1879,38 @@ r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
       FROM s)
 SELECT doc_id, token, tf, df, score_ppm, rank::bigint AS rank
 FROM r WHERE rank <= 3""",
+        # full pixel-level recompute of the average hash: pixel k of
+        # image mid is md5('png:'||mid) byte (k % 16) — the generator's
+        # closed form (multimodal.make_png / _fill). Block membership
+        # (8r+7)//h inverts the operator's [i·h//8, (i+1)·h//8) rows;
+        # the threshold compares cross-multiplied integer sums and the
+        # hugeint bit assembly reproduces Python's signed-64 wrap.
+        "image_ahash": """
+WITH dims AS (SELECT doc_id*4 AS mid,
+                     16 + (doc_id*4*37) % 97 AS w,
+                     16 + (doc_id*4*91) % 61 AS h,
+                     md5('png:' || (doc_id*4)::varchar) AS dg
+              FROM documents),
+px AS (SELECT mid, w, h, r, c,
+              ('0x' || substr(dg, 2*((r*w + c) % 16) + 1, 2))::bigint AS v
+       FROM dims,
+            LATERAL (SELECT unnest(generate_series(0, h-1)) AS r) rr,
+            LATERAL (SELECT unnest(generate_series(0, w-1)) AS c) cc),
+tot AS (SELECT mid, sum(v)::bigint AS total, (w*h)::bigint AS n
+        FROM px GROUP BY mid, w, h),
+blk AS (SELECT mid, w, h, (8*r+7)//h AS bi, (8*c+7)//w AS bj,
+               sum(v)::bigint AS s, count(*)::bigint AS nb
+        FROM px GROUP BY 1, 2, 3, 4, 5),
+bits AS (SELECT b.mid, b.w, b.h, bi, bj,
+                CASE WHEN b.s * t.n >= t.total * b.nb
+                     THEN 1::hugeint ELSE 0::hugeint END AS bit
+         FROM blk b JOIN tot t USING (mid)),
+h64 AS (SELECT mid, w, h, sum(bit << (63 - (bi*8 + bj))) AS hv
+        FROM bits GROUP BY mid, w, h)
+SELECT mid AS media_id, w::bigint AS width, h::bigint AS height,
+       (CASE WHEN hv >= 1::hugeint << 63
+             THEN hv - (1::hugeint << 64) ELSE hv END)::bigint AS ahash
+FROM h64""",
     }
     # both CC algorithms must compute the SAME fixpoint on the
     # production near-dup graph: the star variant pins against the

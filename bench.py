@@ -158,7 +158,8 @@ def main() -> None:
                            ("dedup_representatives", 1),
                            ("snapshot_diff", 2),
                            ("tfidf_keywords", 2),
-                           ("incremental_recrawl", 1)):
+                           ("incremental_recrawl", 1),
+                           ("image_ahash", 2)):
             queries[name] = time_query(qmap[name], spark, sf_dir,
                                        reps=reps)
 

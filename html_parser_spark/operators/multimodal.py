@@ -45,6 +45,7 @@ import zlib
 from collections.abc import Iterator
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = ("media_id long, kind string, payload binary, "
                 "declared_w int, declared_h int")
@@ -225,6 +226,123 @@ def decode_png(b: bytes) -> tuple[int, int, int]:
             return w, h, 1
         pos += 12 + clen
     raise ValueError("no IHDR")
+
+
+def decode_png_pixels(b: bytes) -> tuple[int, int, bytes]:
+    """Full pixel decode for 8-bit grayscale non-interlaced PNGs:
+    IDAT concatenation, zlib inflate, and per-scanline unfiltering
+    (all five spec filter types — None/Sub/Up/Average/Paeth — at
+    bpp=1). Returns (width, height, h*w pixel bytes, row-major).
+    Color types other than grayscale raise — honest scope gate, the
+    pipeline's synthetic corpus and the aHash operator only need
+    luma."""
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("bad PNG signature")
+    pos, w, h, idat = 8, None, None, []
+    while pos + 8 <= len(b):
+        (clen,) = struct.unpack(">I", b[pos:pos + 4])
+        tag = b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + clen]
+        if tag == b"IHDR":
+            w, hh = struct.unpack(">II", data[:8])
+            h = hh
+            depth, color, interlace = data[8], data[9], data[12]
+            if depth != 8 or color != 0:
+                raise ValueError("only 8-bit grayscale supported")
+            if interlace != 0:
+                raise ValueError("interlaced PNG unsupported")
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + clen
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (w + 1):
+        raise ValueError("bad scanline length")
+    out = bytearray(h * w)
+    prev = bytes(w)
+    for r in range(h):
+        ft = raw[r * (w + 1)]
+        line = bytearray(raw[r * (w + 1) + 1:(r + 1) * (w + 1)])
+        if ft == 1:    # Sub: left neighbor
+            for c in range(1, w):
+                line[c] = (line[c] + line[c - 1]) & 0xFF
+        elif ft == 2:  # Up
+            for c in range(w):
+                line[c] = (line[c] + prev[c]) & 0xFF
+        elif ft == 3:  # Average
+            for c in range(w):
+                left = line[c - 1] if c else 0
+                line[c] = (line[c] + (left + prev[c]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for c in range(w):
+                a = line[c - 1] if c else 0
+                up = prev[c]
+                ul = prev[c - 1] if c else 0
+                p = a + up - ul
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - ul)
+                pred = a if pa <= pb and pa <= pc else \
+                    (up if pb <= pc else ul)
+                line[c] = (line[c] + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad filter type {ft}")
+        out[r * w:(r + 1) * w] = line
+        prev = line
+    return w, h, bytes(out)
+
+
+def ahash64(px: bytes, w: int, h: int) -> int:
+    """Integer-exact 8×8 average hash (perceptual near-dup signature):
+    block (i,j) covers rows [i·h//8, (i+1)·h//8) × cols [j·w//8,
+    (j+1)·w//8); bit(i,j) = 1 iff block mean ≥ global mean, compared
+    cross-multiplied (block_sum·n_total ≥ total_sum·n_block) so no
+    float ever rounds — the hash is bit-identical everywhere. MSB
+    first (bit (0,0) at position 63); returned as a SIGNED 64-bit int
+    so it round-trips through Spark's long."""
+    total = sum(px)
+    n = w * h
+    bits = 0
+    for i in range(8):
+        r0, r1 = i * h // 8, (i + 1) * h // 8
+        for j in range(8):
+            c0, c1 = j * w // 8, (j + 1) * w // 8
+            s = 0
+            for r in range(r0, r1):
+                s += sum(px[r * w + c0:r * w + c1])
+            nb = (r1 - r0) * (c1 - c0)
+            bits <<= 1
+            if s * n >= total * nb:
+                bits |= 1
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def image_ahash(media_df):
+    """(media_id, width, height, ahash) for every decodable image row:
+    real PNG pixel decode + the integer-exact 8×8 average hash — the
+    perceptual near-dup signature (identical bytes ⇒ identical hash;
+    re-encodes/resizes of the same picture land nearby in Hamming
+    space). Narrow map over the payload column, zero shuffle; rows
+    that fail to decode are dropped (the ok/failure audit lives in
+    ``decode_media``)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, px = decode_png_pixels(bytes(payload))
+                    rows.append((int(mid), w, h, ahash64(px, w, h)))
+                except Exception:
+                    continue
+            yield pd.DataFrame(rows, columns=["media_id", "width",
+                                              "height", "ahash"])
+
+    return (media_df.where(F.col("kind") == "image")
+            .select("media_id", "payload")
+            .mapInPandas(run, schema=("media_id long, width int, "
+                                      "height int, ahash long")))
 
 
 def decode_gif(b: bytes) -> tuple[int, int, int]:

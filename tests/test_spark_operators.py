@@ -850,6 +850,66 @@ def test_dedup_representatives_quality_pick(spark):
         clusters.dedup_representatives(pairs, docs, algorithm="Label")
 
 
+def test_png_pixel_decode_and_ahash():
+    """Full PNG pixel decode: the synthetic corpus round-trips to its
+    closed-form fill; all five scanline filter types reconstruct the
+    same pixels; the 8×8 average hash matches a hand-derived value
+    and is invariant to the filter choice (pixels are pixels)."""
+    import struct
+    import zlib
+
+    from html_parser_spark.operators.multimodal import (
+        _fill, _png_chunk, ahash64, decode_png_pixels, image_dims,
+        make_png)
+
+    for mid in (0, 16, 112, 1600):
+        w, h, px = decode_png_pixels(make_png(mid))
+        assert (w, h) == image_dims(mid)
+        assert px == _fill(f"png:{mid}", w * h)
+
+    # hand image: left half black, right half white -> row byte 0x0f
+    px = bytes(([0] * 8 + [255] * 8) * 16)
+    assert ahash64(px, 16, 16) == 0x0F0F0F0F0F0F0F0F
+
+    def enc(px, w, h, ft):
+        rows, prev = [], bytes(w)
+        for r in range(h):
+            line = px[r * w:(r + 1) * w]
+            if ft == 1:
+                f = bytes([(line[c] - (line[c - 1] if c else 0)) & 0xFF
+                           for c in range(w)])
+            elif ft == 2:
+                f = bytes([(line[c] - prev[c]) & 0xFF for c in range(w)])
+            elif ft == 3:
+                f = bytes([(line[c] - ((line[c - 1] if c else 0)
+                                       + prev[c]) // 2) & 0xFF
+                           for c in range(w)])
+            else:  # Paeth
+                o = []
+                for c in range(w):
+                    a = line[c - 1] if c else 0
+                    up, ul = prev[c], (prev[c - 1] if c else 0)
+                    p = a + up - ul
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - ul)
+                    pred = a if pa <= pb and pa <= pc else \
+                        (up if pb <= pc else ul)
+                    o.append((line[c] - pred) & 0xFF)
+                f = bytes(o)
+            rows.append(bytes([ft]) + f)
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(b"".join(rows), 6))
+                + _png_chunk(b"IEND", b""))
+
+    px = _fill("mix", 16 * 16)
+    base = ahash64(px, 16, 16)
+    for ft in (1, 2, 3, 4):
+        w, h, got = decode_png_pixels(enc(px, 16, 16, ft))
+        assert got == px, ft
+        assert ahash64(got, w, h) == base
+
+
 def test_incremental_extract_parses_only_changes(spark):
     """Re-crawl incremental extraction: unchanged urls carry the
     committed text (sentinel proves no re-parse), changed/new urls
