@@ -9,4 +9,5 @@ Exactly-once comes from Spark's streaming checkpoint (source offsets +
 file-sink log) instead of the batch anti-join.
 """
 
-from .ingest import stream_extract, stream_links  # noqa: F401
+from .ingest import (stream_extract, stream_links,  # noqa: F401
+                     stream_recrawl)

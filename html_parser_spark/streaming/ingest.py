@@ -73,6 +73,53 @@ def stream_extract_dedup(spark: SparkSession, source_dir: str,
                           dedup_watermark=watermark_delay)
 
 
+def stream_recrawl(spark: SparkSession, source_dir: str,
+                   old_snapshot_dir: str, output_dir: str,
+                   checkpoint_dir: str, available_now: bool = True,
+                   max_files_per_trigger: int = 8):
+    """Streaming re-crawl CDC: as fresh crawl files land, parse ONLY
+    pages whose content differs from the previous snapshot — the
+    Structured-Streaming twin of ``plans.pipeline.incremental_extract``.
+
+    Each arriving page is annotated with its content digest and
+    stream-static LEFT-joined against the previous snapshot's
+    ``(url, digest)`` projection (digests on both sides — page bytes
+    never join); rows whose url is unknown (new) or whose digest
+    changed (changed) go through the parse kernel, identical rows are
+    dropped in-flight, before the expensive stage. Unchanged pages
+    need no re-emission — their extraction is already committed, which
+    is exactly the carried side of the batch operator.
+
+    At scale the static side is the crawl store's previous-snapshot
+    digest projection (an Iceberg metadata-light scan re-read per
+    micro-batch — Spark's stream-static semantics — so it always
+    reflects the latest committed snapshot); the file-source
+    checkpoint makes the whole thing resumable at exact file offsets.
+    """
+    from pyspark.sql import functions as F
+
+    old = (spark.read.parquet(old_snapshot_dir)
+           .select("url", F.md5(F.col("html")).alias("h_old")))
+    src = (spark.readStream
+           .schema(PAGES_SCHEMA)
+           .option("maxFilesPerTrigger", str(max_files_per_trigger))
+           .parquet(source_dir))
+    work = (src.withColumn("h_new", F.md5(F.col("html")))
+            .join(old, "url", "left_outer")
+            .where(F.col("h_old").isNull()
+                   | (F.col("h_old") != F.col("h_new")))
+            .drop("h_old", "h_new"))
+    out = extract_pages(work, with_spans=False)
+    writer = (out.writeStream
+              .format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_links(spark: SparkSession, source_dir: str, output_dir: str,
                  checkpoint_dir: str, available_now: bool = True,
                  max_files_per_trigger: int = 8,

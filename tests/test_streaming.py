@@ -279,6 +279,48 @@ def test_sessionization_sid_monotonic_after_expiry(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_stream_recrawl_parses_only_changes(spark):
+    """Streaming re-crawl CDC: the stream-static digest join routes
+    exactly changed∪new pages into the parse; unchanged pages are
+    dropped in-flight; extracted text is byte-identical to the golden
+    column (the planted mutation is a trailing comment)."""
+    import __spark_entry__ as entry
+    from html_parser_spark.sources.pages import pages_df
+    from html_parser_spark.streaming import stream_recrawl
+
+    tmp = tempfile.mkdtemp(prefix="hps_recrawl_")
+    try:
+        pages = pages_df(spark, SF_DIR).cache()
+        pages.repartition(4).write.parquet(f"{tmp}/old")
+        # snapshot B (same closed-form rules as the batch contract
+        # query), widened back to the full pages schema for the drop
+        snap_b = (entry._snapshot_b(pages.select("url", "html"))
+                  .withColumn("warc_ts",
+                              F.lit("2025-06-01").cast("timestamp"))
+                  .withColumn("text", F.lit(""))
+                  .withColumn("lang", F.lit("en"))
+                  .select("url", "warc_ts", "html", "text", "lang"))
+        snap_b.repartition(4).write.parquet(f"{tmp}/new")
+
+        q = stream_recrawl(spark, f"{tmp}/new", f"{tmp}/old",
+                           f"{tmp}/out", f"{tmp}/ckpt")
+        q.awaitTermination(180)
+
+        did = F.regexp_extract("url", r"doc(\d{8})\.html", 1).cast("long")
+        exp = (pages.where((did % 17 != 5) & (did % 5 == 0))
+               .select("url", "text")
+               .unionByName(
+                   pages.where(did % 19 == 7)
+                   .select(F.concat("url", F.lit("?v=2")).alias("url"),
+                           "text")))
+        got = spark.read.parquet(f"{tmp}/out").select("url", "text")
+        assert got.count() == exp.count()
+        assert got.join(exp, ["url", "text"]).count() == exp.count()
+        pages.unpersist()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_stream_extract_dedup_suppresses_in_window_duplicates(spark):
     """stream_extract_dedup: exact duplicates (same html bytes under a
     different url) arriving within the watermark window are parsed and
