@@ -158,10 +158,14 @@ def main() -> None:
                            ("dedup_representatives", 1),
                            ("snapshot_diff", 2),
                            ("tfidf_keywords", 2),
-                           ("incremental_recrawl", 1),
-                           ("image_ahash", 2)):
+                           ("incremental_recrawl", 1)):
             queries[name] = time_query(qmap[name], spark, sf_dir,
                                        reps=reps)
+        # image_ahash over the already-staged media table (synthesis
+        # excluded from the timing — same methodology as
+        # multimodal_decode above)
+        queries["image_ahash"] = time_query(
+            lambda *_: multimodal.image_ahash(media), None, reps=2)
 
         out = {
             "metric": "extract_wall_sec",

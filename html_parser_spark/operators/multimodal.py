@@ -210,7 +210,10 @@ def make_jpeg(media_id: int) -> bytes:
 
 # ------------------------------------------------------------ decoders
 
-def decode_png(b: bytes) -> tuple[int, int, int]:
+def _png_chunks(b: bytes):
+    """Shared chunk walk for both PNG decoders: validates the
+    signature, yields (tag, data, crc) until the stream ends. One
+    parsing recipe — a bounds/robustness fix lands once."""
     if b[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("bad PNG signature")
     pos = 8
@@ -218,13 +221,20 @@ def decode_png(b: bytes) -> tuple[int, int, int]:
         (clen,) = struct.unpack(">I", b[pos:pos + 4])
         tag = b[pos + 4:pos + 8]
         data = b[pos + 8:pos + 8 + clen]
-        (crc,) = struct.unpack(">I", b[pos + 8 + clen:pos + 12 + clen])
+        crc_bytes = b[pos + 8 + clen:pos + 12 + clen]
+        crc = struct.unpack(">I", crc_bytes)[0] if len(crc_bytes) == 4 \
+            else None
+        yield tag, data, crc
+        pos += 12 + clen
+
+
+def decode_png(b: bytes) -> tuple[int, int, int]:
+    for tag, data, crc in _png_chunks(b):
         if tag == b"IHDR":
-            if clen != 13 or zlib.crc32(tag + data) != crc:
+            if len(data) != 13 or zlib.crc32(tag + data) != crc:
                 raise ValueError("corrupt IHDR")
             w, h = struct.unpack(">II", data[:8])
             return w, h, 1
-        pos += 12 + clen
     raise ValueError("no IHDR")
 
 
@@ -236,13 +246,8 @@ def decode_png_pixels(b: bytes) -> tuple[int, int, bytes]:
     Color types other than grayscale raise — honest scope gate, the
     pipeline's synthetic corpus and the aHash operator only need
     luma."""
-    if b[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("bad PNG signature")
-    pos, w, h, idat = 8, None, None, []
-    while pos + 8 <= len(b):
-        (clen,) = struct.unpack(">I", b[pos:pos + 4])
-        tag = b[pos + 4:pos + 8]
-        data = b[pos + 8:pos + 8 + clen]
+    w, h, idat = None, None, []
+    for tag, data, _crc in _png_chunks(b):
         if tag == b"IHDR":
             w, hh = struct.unpack(">II", data[:8])
             h = hh
@@ -255,7 +260,6 @@ def decode_png_pixels(b: bytes) -> tuple[int, int, bytes]:
             idat.append(data)
         elif tag == b"IEND":
             break
-        pos += 12 + clen
     if w is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     raw = zlib.decompress(b"".join(idat))
@@ -313,7 +317,10 @@ def ahash64(px: bytes, w: int, h: int) -> int:
                 s += sum(px[r * w + c0:r * w + c1])
             nb = (r1 - r0) * (c1 - c0)
             bits <<= 1
-            if s * n >= total * nb:
+            # empty blocks (w or h < 8) contribute a 0 bit — 0 ≥ 0
+            # would spuriously set it, diverging from the oracle's
+            # no-pixels-no-block scheme and polluting Hamming dedup
+            if nb and s * n >= total * nb:
                 bits |= 1
     return bits - (1 << 64) if bits >= (1 << 63) else bits
 

@@ -21,6 +21,21 @@ from ..operators.extract import extract_pages
 from ..sources.pages import PAGES_SCHEMA
 
 
+def _start_parquet_sink(out, output_dir: str, checkpoint_dir: str,
+                        available_now: bool):
+    """Shared checkpointed parquet sink: one place for sink options
+    (append mode, availableNow drain) across every streaming entry
+    point."""
+    writer = (out.writeStream
+              .format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_extract(spark: SparkSession, source_dir: str, output_dir: str,
                    checkpoint_dir: str, available_now: bool = True,
                    max_files_per_trigger: int = 8, with_spans: bool = False,
@@ -49,14 +64,8 @@ def stream_extract(spark: SparkSession, source_dir: str, output_dir: str,
                .dropDuplicatesWithinWatermark(["html_md5"])
                .drop("html_md5"))
     out = extract_pages(src, with_spans=with_spans)
-    writer = (out.writeStream
-              .format("parquet")
-              .option("path", output_dir)
-              .option("checkpointLocation", checkpoint_dir)
-              .outputMode("append"))
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_parquet_sink(out, output_dir, checkpoint_dir,
+                               available_now)
 
 
 def stream_extract_dedup(spark: SparkSession, source_dir: str,
@@ -76,7 +85,8 @@ def stream_extract_dedup(spark: SparkSession, source_dir: str,
 def stream_recrawl(spark: SparkSession, source_dir: str,
                    old_snapshot_dir: str, output_dir: str,
                    checkpoint_dir: str, available_now: bool = True,
-                   max_files_per_trigger: int = 8):
+                   max_files_per_trigger: int = 8,
+                   committed_dir: str | None = None):
     """Streaming re-crawl CDC: as fresh crawl files land, parse ONLY
     pages whose content differs from the previous snapshot — the
     Structured-Streaming twin of ``plans.pipeline.incremental_extract``.
@@ -87,8 +97,13 @@ def stream_recrawl(spark: SparkSession, source_dir: str,
     never join); rows whose url is unknown (new) or whose digest
     changed (changed) go through the parse kernel, identical rows are
     dropped in-flight, before the expensive stage. Unchanged pages
-    need no re-emission — their extraction is already committed, which
-    is exactly the carried side of the batch operator.
+    need no re-emission — their extraction is already committed (the
+    carried side of the batch operator). Pass ``committed_dir`` (the
+    committed extraction output) to make that assumption checked
+    instead of trusted: unchanged pages whose url never reached the
+    committed table — the previous run crashed between crawl commit
+    and extraction commit — are routed into the parse, the same
+    partial-commit arm as the batch twin.
 
     At scale the static side is the crawl store's previous-snapshot
     digest projection (an Iceberg metadata-light scan re-read per
@@ -104,20 +119,26 @@ def stream_recrawl(spark: SparkSession, source_dir: str,
            .schema(PAGES_SCHEMA)
            .option("maxFilesPerTrigger", str(max_files_per_trigger))
            .parquet(source_dir))
-    work = (src.withColumn("h_new", F.md5(F.col("html")))
-            .join(old, "url", "left_outer")
-            .where(F.col("h_old").isNull()
-                   | (F.col("h_old") != F.col("h_new")))
-            .drop("h_old", "h_new"))
+    ann = (src.withColumn("h_new", F.md5(F.col("html")))
+           .join(old, "url", "left_outer"))
+    changed_or_new = (F.col("h_old").isNull()
+                      | (F.col("h_old") != F.col("h_new")))
+    if committed_dir is not None:
+        # partial-commit guard (same arm as the batch twin): an
+        # unchanged page whose extraction never committed — the
+        # previous run crashed between crawl commit and extraction
+        # commit — must be parsed, not silently dropped
+        done = (spark.read.parquet(committed_dir)
+                .select("url", F.lit(True).alias("_committed")))
+        ann = ann.join(done, "url", "left_outer")
+        changed_or_new = changed_or_new | F.col("_committed").isNull()
+        ann = ann.where(changed_or_new).drop("_committed")
+    else:
+        ann = ann.where(changed_or_new)
+    work = ann.drop("h_old", "h_new")
     out = extract_pages(work, with_spans=False)
-    writer = (out.writeStream
-              .format("parquet")
-              .option("path", output_dir)
-              .option("checkpointLocation", checkpoint_dir)
-              .outputMode("append"))
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_parquet_sink(out, output_dir, checkpoint_dir,
+                               available_now)
 
 
 def stream_links(spark: SparkSession, source_dir: str, output_dir: str,
@@ -149,11 +170,5 @@ def stream_links(spark: SparkSession, source_dir: str, output_dir: str,
     if frontier_watermark is not None:
         out = (out.withWatermark("warc_ts", frontier_watermark)
                .dropDuplicatesWithinWatermark(["canon"]))
-    writer = (out.writeStream
-              .format("parquet")
-              .option("path", output_dir)
-              .option("checkpointLocation", checkpoint_dir)
-              .outputMode("append"))
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_parquet_sink(out, output_dir, checkpoint_dir,
+                               available_now)

@@ -909,6 +909,18 @@ def test_png_pixel_decode_and_ahash():
         assert got == px, ft
         assert ahash64(got, w, h) == base
 
+    # degenerate sizes (< 8 px a side): empty grid blocks contribute
+    # 0 bits — matching the oracle's no-pixels-no-block scheme — so
+    # only blocks with both ranges nonempty can set a bit
+    small = ahash64(bytes([255] * 16), 4, 4) & (1 << 64) - 1
+    want = 0
+    for i in range(8):
+        for j in range(8):
+            if (i + 1) * 4 // 8 > i * 4 // 8 \
+                    and (j + 1) * 4 // 8 > j * 4 // 8:
+                want |= 1 << (63 - (i * 8 + j))
+    assert small == want
+
 
 def test_incremental_extract_parses_only_changes(spark):
     """Re-crawl incremental extraction: unchanged urls carry the

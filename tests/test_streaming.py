@@ -302,12 +302,21 @@ def test_stream_recrawl_parses_only_changes(spark):
                   .select("url", "warc_ts", "html", "text", "lang"))
         snap_b.repartition(4).write.parquet(f"{tmp}/new")
 
+        did = F.regexp_extract("url", r"doc(\d{8})\.html", 1).cast("long")
+        # committed extraction missing ONE unchanged url — the
+        # partial-commit crash case; that url must be parsed anyway
+        unchanged = pages.where((did % 17 != 5) & (did % 5 != 0))
+        hole = unchanged.select("url").orderBy("url").first()["url"]
+        (pages.where(F.col("url") != hole).select("url", "text")
+         .write.parquet(f"{tmp}/committed"))
+
         q = stream_recrawl(spark, f"{tmp}/new", f"{tmp}/old",
-                           f"{tmp}/out", f"{tmp}/ckpt")
+                           f"{tmp}/out", f"{tmp}/ckpt",
+                           committed_dir=f"{tmp}/committed")
         q.awaitTermination(180)
 
-        did = F.regexp_extract("url", r"doc(\d{8})\.html", 1).cast("long")
-        exp = (pages.where((did % 17 != 5) & (did % 5 == 0))
+        exp = (pages.where((did % 17 != 5)
+                           & ((did % 5 == 0) | (F.col("url") == hole)))
                .select("url", "text")
                .unionByName(
                    pages.where(did % 19 == 7)
