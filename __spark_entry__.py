@@ -126,6 +126,43 @@ g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
 """
 
 
+def _ahash_ctes() -> str:
+    """Shared CTE chain for the image-hash oracles: regenerate every
+    pixel from the PNG generator's closed form (pixel k of image mid
+    = md5('png:'||mid) byte (k % 16)), re-derive block/global sums —
+    block membership (8r+7)//h inverts the kernel's
+    [i·h//8, (i+1)·h//8) row ranges — threshold cross-multiplied, and
+    assemble the signed 64-bit hash with hugeint arithmetic
+    (reproducing Python's signed-64 wrap). Ends in ``h64v``
+    (mid, w, h, ahash). Callers prepend WITH."""
+    return """dims AS (SELECT doc_id*4 AS mid,
+                     16 + (doc_id*4*37) % 97 AS w,
+                     16 + (doc_id*4*91) % 61 AS h,
+                     md5('png:' || (doc_id*4)::varchar) AS dg
+              FROM documents),
+px AS (SELECT mid, w, h, r, c,
+              ('0x' || substr(dg, 2*((r*w + c) % 16) + 1, 2))::bigint AS v
+       FROM dims,
+            LATERAL (SELECT unnest(generate_series(0, h-1)) AS r) rr,
+            LATERAL (SELECT unnest(generate_series(0, w-1)) AS c) cc),
+tot AS (SELECT mid, sum(v)::bigint AS total, (w*h)::bigint AS n
+        FROM px GROUP BY mid, w, h),
+blk AS (SELECT mid, w, h, (8*r+7)//h AS bi, (8*c+7)//w AS bj,
+               sum(v)::bigint AS s, count(*)::bigint AS nb
+        FROM px GROUP BY 1, 2, 3, 4, 5),
+bits AS (SELECT b.mid, b.w, b.h, bi, bj,
+                CASE WHEN b.s * t.n >= t.total * b.nb
+                     THEN 1::hugeint ELSE 0::hugeint END AS bit
+         FROM blk b JOIN tot t USING (mid)),
+h64 AS (SELECT mid, w, h, sum(bit << (63 - (bi*8 + bj))) AS hv
+        FROM bits GROUP BY mid, w, h),
+h64v AS (SELECT mid, w, h,
+                (CASE WHEN hv >= 1::hugeint << 63
+                      THEN hv - (1::hugeint << 64)
+                      ELSE hv END)::bigint AS ahash
+         FROM h64)"""
+
+
 def _cc_lab_ctes() -> str:
     """Shared CTE chain: capped 3-gram Jaccard pairs → symmetric edge
     list → recursive-CTE transitive closure → min-label table ``lab``.
@@ -897,6 +934,31 @@ def _q_image_ahash(spark, sf_dir):
                     "ahash"))
 
 
+def _q_image_neardup(spark, sf_dir):
+    """Image dedup composed end-to-end: plant exact re-publications
+    (every 9th image appears again under a new media_id, same bytes),
+    hash everything with the real decode+aHash kernel, and group by
+    (ahash, dims) — the keep-one-copy aggregation an image corpus
+    runs. The oracle recomputes the hashes pixel-by-pixel and groups
+    identically, so even a natural hash collision (the synthetic
+    16-byte-periodic fills make repeated-byte hashes likelier than on
+    photos) merges the same groups on both sides — value-exact, not
+    plant-trusting."""
+    media = multimodal.media_df_from_docs(spark, sf_dir)
+    imgs = media.where(F.col("kind") == "image")
+    # doc_id % 9 == 4 ⟺ media_id % 36 == 16 (media_id = doc_id·4) —
+    # pure integer arithmetic, mirrored in the oracle
+    copies = (imgs.where(F.col("media_id") % 36 == 16)
+              .withColumn("media_id",
+                          F.col("media_id") + F.lit(10_000_000)))
+    hashed = multimodal.image_ahash(imgs.unionByName(copies))
+    return (hashed.groupBy("ahash",
+                           F.col("width").cast("long").alias("width"),
+                           F.col("height").cast("long").alias("height"))
+            .agg(F.count("*").cast("long").alias("n_copies"),
+                 F.min("media_id").cast("long").alias("rep_media_id")))
+
+
 def _q_multimodal_decode(spark, sf_dir):
     """Binary media columns → decoded metadata via REAL stdlib codecs
     (PNG chunk walk + CRC, GIF block walk + frame count, RIFF/WAVE
@@ -1271,6 +1333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_recrawl": _q_incremental_recrawl,
         "tfidf_keywords": _q_tfidf_keywords,
         "image_ahash": _q_image_ahash,
+        "image_neardup": _q_image_neardup,
     }
 
 
@@ -1881,36 +1944,25 @@ SELECT doc_id, token, tf, df, score_ppm, rank::bigint AS rank
 FROM r WHERE rank <= 3""",
         # full pixel-level recompute of the average hash: pixel k of
         # image mid is md5('png:'||mid) byte (k % 16) — the generator's
-        # closed form (multimodal.make_png / _fill). Block membership
-        # (8r+7)//h inverts the operator's [i·h//8, (i+1)·h//8) rows;
-        # the threshold compares cross-multiplied integer sums and the
-        # hugeint bit assembly reproduces Python's signed-64 wrap.
-        "image_ahash": """
-WITH dims AS (SELECT doc_id*4 AS mid,
-                     16 + (doc_id*4*37) % 97 AS w,
-                     16 + (doc_id*4*91) % 61 AS h,
-                     md5('png:' || (doc_id*4)::varchar) AS dg
-              FROM documents),
-px AS (SELECT mid, w, h, r, c,
-              ('0x' || substr(dg, 2*((r*w + c) % 16) + 1, 2))::bigint AS v
-       FROM dims,
-            LATERAL (SELECT unnest(generate_series(0, h-1)) AS r) rr,
-            LATERAL (SELECT unnest(generate_series(0, w-1)) AS c) cc),
-tot AS (SELECT mid, sum(v)::bigint AS total, (w*h)::bigint AS n
-        FROM px GROUP BY mid, w, h),
-blk AS (SELECT mid, w, h, (8*r+7)//h AS bi, (8*c+7)//w AS bj,
-               sum(v)::bigint AS s, count(*)::bigint AS nb
-        FROM px GROUP BY 1, 2, 3, 4, 5),
-bits AS (SELECT b.mid, b.w, b.h, bi, bj,
-                CASE WHEN b.s * t.n >= t.total * b.nb
-                     THEN 1::hugeint ELSE 0::hugeint END AS bit
-         FROM blk b JOIN tot t USING (mid)),
-h64 AS (SELECT mid, w, h, sum(bit << (63 - (bi*8 + bj))) AS hv
-        FROM bits GROUP BY mid, w, h)
-SELECT mid AS media_id, w::bigint AS width, h::bigint AS height,
-       (CASE WHEN hv >= 1::hugeint << 63
-             THEN hv - (1::hugeint << 64) ELSE hv END)::bigint AS ahash
-FROM h64""",
+        # closed form (multimodal.make_png / _fill). See _ahash_ctes.
+        "image_ahash": f"""
+WITH {_ahash_ctes()}
+SELECT mid AS media_id, w::bigint AS width, h::bigint AS height, ahash
+FROM h64v""",
+        # the keep-one-copy aggregation over the same recomputed
+        # hashes: copies (mid % 36 = 16, re-published +10M) inherit
+        # the original's hash; both engines group the SAME hash
+        # values, so natural collisions merge identically — the check
+        # stays value-exact without trusting the plant
+        "image_neardup": f"""
+WITH {_ahash_ctes()},
+alls AS (SELECT mid, w, h, ahash FROM h64v
+         UNION ALL
+         SELECT mid + 10000000, w, h, ahash FROM h64v
+         WHERE mid % 36 = 16)
+SELECT ahash, w::bigint AS width, h::bigint AS height,
+       count(*)::bigint AS n_copies, min(mid)::bigint AS rep_media_id
+FROM alls GROUP BY 1, 2, 3""",
     }
     # both CC algorithms must compute the SAME fixpoint on the
     # production near-dup graph: the star variant pins against the

@@ -166,6 +166,10 @@ def main() -> None:
         # multimodal_decode above)
         queries["image_ahash"] = time_query(
             lambda *_: multimodal.image_ahash(media), None, reps=2)
+        queries["image_neardup_stage"] = time_query(
+            lambda *_: (multimodal.image_ahash(media)
+                        .groupBy("ahash", "width", "height")
+                        .agg(F.count("*").alias("n"))), None, reps=2)
 
         out = {
             "metric": "extract_wall_sec",
