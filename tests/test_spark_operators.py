@@ -850,6 +850,39 @@ def test_dedup_representatives_quality_pick(spark):
         clusters.dedup_representatives(pairs, docs, algorithm="Label")
 
 
+def test_round4_family_plan_shapes(spark):
+    """Plan-shape floor for the round-4 operators: no cartesian
+    products anywhere, and the exchange budget stays bounded (the
+    specific shapes are argued in PLANS.md audits 24-29; this pins
+    the invariants that must survive refactors)."""
+    from html_parser_spark.operators import clusters, textstats
+    from html_parser_spark.operators.snapshots import snapshot_diff
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common t{i % 3}") for i in range(30)],
+        ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], ["doc_a", "doc_b"])
+    qual = docs.select("doc_id", F.length("text").alias("quality"))
+    snaps = docs.select(F.concat(F.lit("u"), "doc_id").alias("url"),
+                        F.col("text").cast("binary").alias("html"))
+
+    plans = {
+        "tfidf": textstats.tfidf_keywords(docs, k=2),
+        "representatives": clusters.dedup_representatives(pairs, qual),
+        "snapshot_diff": snapshot_diff(snaps, snaps),
+    }
+    # static (pre-AQE) exchange counts: tfidf = tf agg + df agg + the
+    # join's two sides + the top-k window (AQE broadcasts the df side
+    # at runtime when small)
+    budget = {"tfidf": 5, "representatives": 6, "snapshot_diff": 2}
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        n_ex = plan.count("Exchange hashpartitioning")
+        assert n_ex <= budget[name], (name, n_ex, plan)
+
+
 def test_png_pixel_decode_and_ahash():
     """Full PNG pixel decode: the synthetic corpus round-trips to its
     closed-form fill; all five scanline filter types reconstruct the
