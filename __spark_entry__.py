@@ -945,13 +945,19 @@ def _q_image_neardup(spark, sf_dir):
     photos) merges the same groups on both sides — value-exact, not
     plant-trusting."""
     media = multimodal.media_df_from_docs(spark, sf_dir)
-    imgs = media.where(F.col("kind") == "image")
-    # doc_id % 9 == 4 ⟺ media_id % 36 == 16 (media_id = doc_id·4) —
-    # pure integer arithmetic, mirrored in the oracle
-    copies = (imgs.where(F.col("media_id") % 36 == 16)
+    # persisted: the union references the hash table twice (same
+    # pattern as the minhash signature persist) — synthesis + decode
+    # must run once, not once per branch
+    base = multimodal.image_ahash(media).persist()
+    # identical payload ⇒ identical hash, so the planted
+    # re-publications (doc_id % 9 == 4 ⟺ media_id % 36 == 16;
+    # media_id = doc_id·4 — mirrored in the oracle) are derived from
+    # the hashed rows: decode+synthesis run ONCE, exactly like the
+    # oracle duplicating h64v rows
+    copies = (base.where(F.col("media_id") % 36 == 16)
               .withColumn("media_id",
                           F.col("media_id") + F.lit(10_000_000)))
-    hashed = multimodal.image_ahash(imgs.unionByName(copies))
+    hashed = base.unionByName(copies)
     return (hashed.groupBy("ahash",
                            F.col("width").cast("long").alias("width"),
                            F.col("height").cast("long").alias("height"))
