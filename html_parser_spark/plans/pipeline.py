@@ -157,8 +157,9 @@ def incremental_extract(old: DataFrame, new: DataFrame,
 
     - ``operators.snapshots.snapshot_diff`` classifies urls by
       16-byte content digests (the diff itself shuffles digests, not
-      page bytes; the tiny (url, status) result is persisted because
-      three consumers branch off it);
+      page bytes; the tiny (url, status) result is materialized once
+      via eager localCheckpoint because three consumers branch off
+      it);
     - changed/new pages go through the production skew-isolated parse;
     - unchanged urls carry their committed text forward with one
       url equi-join (digest equality guarantees byte-identical html,
@@ -180,7 +181,13 @@ def incremental_extract(old: DataFrame, new: DataFrame,
     """
     from ..operators.snapshots import snapshot_diff
 
-    diff = snapshot_diff(old, new).persist()
+    # eager localCheckpoint, not persist(): three consumers branch off
+    # the tiny (url, status) diff, so it must materialize once — but a
+    # CacheManager-pinned persist() leaks the block until an explicit
+    # unpersist nobody downstream can safely issue (the returned plan
+    # still references it). RDD-level checkpoint blocks are released
+    # by the ContextCleaner when the frame is garbage-collected.
+    diff = snapshot_diff(old, new).localCheckpoint(eager=True)
     keep = diff.where(F.col("status") == "unchanged").select("url")
     committed_urls = old_extracted.select("url")
     missing = keep.join(committed_urls, "url", "left_anti")
@@ -252,19 +259,29 @@ def _table_rows_from_metadata(committed: DataFrame) -> int:
     pyarrow; non-local schemes (hdfs/s3a on a real cluster) fall back
     to a count() — correct everywhere, and on those deployments the
     Iceberg snapshot property replaces this function anyway."""
+    import urllib.parse
+
     import pyarrow.parquet as pq
 
     total = 0
     for uri in committed.inputFiles():
         if uri.startswith("file:"):
-            path = uri[len("file:"):]
+            # inputFiles() returns URIs, so a path containing spaces
+            # or other reserved characters arrives percent-encoded —
+            # decode before handing it to the filesystem
+            path = urllib.parse.unquote(uri[len("file:"):])
             while path.startswith("//"):
                 path = path[1:]
         elif "://" not in uri:
             path = uri
         else:
             return committed.count()
-        total += pq.ParquetFile(path).metadata.num_rows
+        try:
+            total += pq.ParquetFile(path).metadata.num_rows
+        except OSError:
+            # pathological local URI (symlinked mount, odd escaping):
+            # fall back to the scan rather than crash the run report
+            return committed.count()
     return total
 
 

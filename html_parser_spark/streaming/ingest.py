@@ -114,15 +114,21 @@ def stream_recrawl(spark: SparkSession, source_dir: str,
     from pyspark.sql import functions as F
 
     old = (spark.read.parquet(old_snapshot_dir)
-           .select("url", F.md5(F.col("html")).alias("h_old")))
+           .select("url", F.md5(F.col("html")).alias("h_old"),
+                   F.lit(True).alias("_in_old")))
     src = (spark.readStream
            .schema(PAGES_SCHEMA)
            .option("maxFilesPerTrigger", str(max_files_per_trigger))
            .parquet(source_dir))
     ann = (src.withColumn("h_new", F.md5(F.col("html")))
            .join(old, "url", "left_outer"))
-    changed_or_new = (F.col("h_old").isNull()
-                      | (F.col("h_old") != F.col("h_new")))
+    # Null-safe change test, mirroring the batch twin snapshot_diff:
+    # a url whose body flipped bytes<->NULL is CHANGED (md5(NULL) is
+    # NULL, so a plain != would yield NULL and silently drop it), and
+    # presence is its own flag — a brand-new url with a NULL body must
+    # still route into the parse (eqNullSafe(NULL, NULL) is true).
+    changed_or_new = (F.col("_in_old").isNull()
+                      | ~F.col("h_old").eqNullSafe(F.col("h_new")))
     if committed_dir is not None:
         # partial-commit guard (same arm as the batch twin): an
         # unchanged page whose extraction never committed — the
@@ -135,7 +141,7 @@ def stream_recrawl(spark: SparkSession, source_dir: str,
         ann = ann.where(changed_or_new).drop("_committed")
     else:
         ann = ann.where(changed_or_new)
-    work = ann.drop("h_old", "h_new")
+    work = ann.drop("h_old", "h_new", "_in_old")
     out = extract_pages(work, with_spans=False)
     return _start_parquet_sink(out, output_dir, checkpoint_dir,
                                available_now)
