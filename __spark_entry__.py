@@ -1249,6 +1249,32 @@ def _q_quality_rarity(spark, sf_dir):
     return textstats.rarity_stats(_docs(spark, sf_dir))
 
 
+def _q_quality_surprisal(spark, sf_dir):
+    """Unigram-LM surprisal quality score in exact integer bits
+    (floor_log2 via bin-string length — identical in both engines);
+    the perplexity-filter tail cuts a CCNet-style pipeline makes."""
+    return textstats.surprisal_stats(_docs(spark, sf_dir))
+
+
+def _q_dedup_containment(spark, sf_dir):
+    """Asymmetric containment near-superset pairs (|A∩B|/|A| ≥ 80%)
+    under the production hot-shingle cap; the quote-expansion dup
+    class symmetric Jaccard misses. Oracle recomputes the capped
+    inverted index and both filter directions independently."""
+    return dedup.containment_pairs(_docs(spark, sf_dir), n=3,
+                                   min_pct=80, max_doc_freq=20)
+
+
+def _q_plagiarism_pairs(spark, sf_dir):
+    """MOSS-style partial-duplicate candidates: documents sharing ≥2
+    winnowed fingerprints (k=8, w=4) after the stop-fingerprint cap.
+    Oracle rebuilds the winnow set in SQL (shared CTE with the
+    fingerprint_winnow oracle) and self-joins it."""
+    return textstats.plagiarism_pairs(_docs(spark, sf_dir),
+                                      k=8, w=4, min_shared=2,
+                                      max_doc_freq=20)
+
+
 def _q_dedup_lines(spark, sf_dir):
     """RefinedWeb-style line-level boilerplate removal composed with the
     real parse kernel: pages → WHATWG parse → textContent → line doc
@@ -1302,6 +1328,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_ahash": _q_image_ahash,
         "image_neardup": _q_image_neardup,
         # -- round-5 additions go HERE (inside the 50-entry window) --
+        "quality_surprisal": _q_quality_surprisal,
+        "dedup_containment": _q_dedup_containment,
+        "plagiarism_pairs": _q_plagiarism_pairs,
         # -- driver-verified in r04, rotating through the window --
         "dedup_substrings_overflow": _q_dedup_substrings_overflow,
         "collocations": _q_collocations,
@@ -1335,10 +1364,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": _q_sim_topk,
         "similarity_ann_lsh": _q_sim_lsh,
         "similarity_ann_ivf": _q_sim_ivf,
+        # ------- past slot 50: veterans green in rounds 1–4 -------
         "dedup_embedding": _q_dedup_embedding,
         "curation_pipeline": _q_curation_pipeline,
         "curation_quota_pipeline": _q_curation_quota,
-        # ------- past slot 50: veterans green in rounds 1–4 -------
         "crawl_window_stats": _q_crawl_window_stats,
         "crawl_sessions": _q_crawl_sessions,
         "fragment_extract": _q_fragment_extract,
@@ -1849,6 +1878,51 @@ SELECT doc_id,
        sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END)::bigint AS n_rare
 FROM wt JOIN c USING (w)
 GROUP BY doc_id""",
+        # integer floor_log2 via bin-string length, identical in both
+        # engines (bin() is unpadded and prefix-free in Spark AND
+        # DuckDB) — the trick that makes an LM-surprisal score exactly
+        # reproducible where float log2 would drift
+        "quality_surprisal": """
+WITH wt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents),
+     c AS (SELECT w, count(*)::bigint AS cnt FROM wt GROUP BY w),
+     n AS (SELECT sum(cnt)::bigint AS total FROM c),
+     d AS (SELECT doc_id, count(*)::bigint AS n_words,
+                  sum((length(bin(total)) - 1)
+                      - (length(bin(cnt)) - 1))::bigint AS surprisal_bits
+           FROM wt JOIN c USING (w) CROSS JOIN n
+           GROUP BY doc_id)
+SELECT doc_id, n_words, surprisal_bits,
+       (100 * surprisal_bits // n_words)::bigint AS avg_bits_x100
+FROM d""",
+        "dedup_containment": f"""
+WITH {_SHINGLE_CTE},
+keep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 20),
+gc AS (SELECT g.doc_id, g.gram FROM g JOIN keep USING (gram)),
+sizes AS (SELECT doc_id, count(*)::bigint AS n_grams
+          FROM gc GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*)::bigint AS inter
+          FROM gc a JOIN gc b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+j AS (SELECT doc_a, doc_b, inter, sa.n_grams AS na, sb.n_grams AS nb
+      FROM inter JOIN sizes sa ON inter.doc_a = sa.doc_id
+                 JOIN sizes sb ON inter.doc_b = sb.doc_id)
+SELECT doc_a AS doc_contained, doc_b AS doc_container, inter,
+       na::bigint AS n_contained
+FROM j WHERE 100 * inter >= 80 * na
+UNION ALL
+SELECT doc_b AS doc_contained, doc_a AS doc_container, inter,
+       nb::bigint AS n_contained
+FROM j WHERE 100 * inter >= 80 * nb""",
+        "plagiarism_pairs": f"""
+WITH fps AS ({_WINNOW_SQL}),
+keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 20),
+fc AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*)::bigint AS n_shared
+FROM fc a JOIN fc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2""",
         "sample_stratified": f"""
 WITH u AS (SELECT doc_id, lang,
                   ({duckdb_base_hash("'smp:' || doc_id::varchar")}

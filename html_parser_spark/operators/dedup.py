@@ -104,6 +104,55 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, min_pct: int = 60,
                     F.col("union_").alias("union_grams")))
 
 
+def containment_pairs(docs: DataFrame, n: int = 3, min_pct: int = 80,
+                      max_doc_freq: int | None = None) -> DataFrame:
+    """Asymmetric near-superset detection: ordered pairs where the
+    n-gram containment ``|A∩B| / |A|`` reaches ``min_pct`` percent —
+    the Broder containment measure. This catches what symmetric
+    Jaccard structurally cannot: a short document wholly quoted inside
+    a much longer one has tiny Jaccard (the union is dominated by the
+    container) but containment 100%. Standard curation use: drop the
+    contained page, keep the superset.
+
+    Returns (doc_contained, doc_container, inter, n_contained) — both
+    directions of each unordered pair are tested independently, so a
+    mutual-80% pair yields two rows.
+
+    Integer-only threshold (``100*inter >= min_pct*n_contained``) for
+    oracle exactness. Same inverted-index plan and ``max_doc_freq``
+    hot-shingle cap as ``jaccard_pairs`` — the candidate generation is
+    shared shape; only the final filter direction differs, so the
+    incremental cost over a Jaccard pass is nil."""
+    g = word_shingles(docs, n)
+    if max_doc_freq is not None:
+        freq = (g.groupBy("gram")
+                .agg(F.count("*").alias("df"))
+                .filter(F.col("df") <= max_doc_freq)
+                .select("gram"))
+        g = g.join(freq, "gram")
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    a, b = g.alias("a"), g.alias("b")
+    inter = (a.join(b, (F.col("a.gram") == F.col("b.gram"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").cast("long").alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_grams").alias("nb"))
+    joined = inter.join(sa, "doc_a").join(sb, "doc_b")
+    fwd = (joined.filter(100 * F.col("inter") >= min_pct * F.col("na"))
+           .select(F.col("doc_a").alias("doc_contained"),
+                   F.col("doc_b").alias("doc_container"),
+                   "inter", F.col("na").cast("long").alias("n_contained")))
+    rev = (joined.filter(100 * F.col("inter") >= min_pct * F.col("nb"))
+           .select(F.col("doc_b").alias("doc_contained"),
+                   F.col("doc_a").alias("doc_container"),
+                   "inter", F.col("nb").cast("long").alias("n_contained")))
+    return fwd.unionByName(rev)
+
+
 def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, sig_0..sig_{k-1}) MinHash signatures over word shingles.
     Docs with < n words get sentinel P31 in every slot."""

@@ -178,6 +178,93 @@ def rarity_stats(docs: DataFrame, rare_max_count: int = 2,
                        .otherwise(0)).cast("long").alias("n_rare")))
 
 
+def _floor_log2(c) -> "F.Column":
+    """Exact integer ``floor(log2(x))`` for x ≥ 1: the bit length of
+    the binary representation minus one. ``bin()`` exists unpadded and
+    prefix-free in both Spark and DuckDB, which is what makes the
+    surprisal score bit-identical across engines — a float ``log2``
+    would round differently per platform."""
+    return (F.length(F.bin(c)) - 1).cast("long")
+
+
+def surprisal_stats(docs: DataFrame,
+                    broadcast_vocab: bool = False) -> DataFrame:
+    """Unigram language-model surprisal per document, in exact integer
+    bits — the CCNet/Gopher "perplexity filter" realized with a corpus
+    self-trained LM instead of an external KenLM binary (a real KenLM
+    slots in as a pandas-UDF scorer over the same word stream; this IS
+    the distributed plumbing either way, and the integer form is what
+    the DuckDB oracle can reproduce bit-for-bit).
+
+    Per token t: ``bits(t) = floor_log2(N_total) - floor_log2(cnt(t))``
+    — an integer Shannon surprisal ``≈ -log2 p(t)`` exact to <1 bit.
+    Returns (doc_id, n_words, surprisal_bits, avg_bits_x100): documents
+    with abnormally HIGH average surprisal are gibberish/OCR noise;
+    abnormally LOW are boilerplate/template spam — the two standard
+    perplexity cut tails.
+
+    Scale shape (same budget as ``rarity_stats``): one exchange of the
+    word stream to count the vocabulary (two-phase agg), the scalar
+    corpus total reduced from the vocabulary table (never the raw
+    stream) and broadcast, then the word⋈vocab equi-join — sort-merge
+    by default because a web-scale long-tail vocabulary outgrows the
+    driver; ``broadcast_vocab=True`` when the vocabulary is bounded."""
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    counts = words.groupBy("w").agg(
+        F.count("*").cast("long").alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("long").alias("total"))
+    if broadcast_vocab:
+        counts = F.broadcast(counts)
+    scored = (words.join(counts, "w")
+              .crossJoin(F.broadcast(total))
+              .withColumn("bits", _floor_log2(F.col("total"))
+                          - _floor_log2(F.col("cnt"))))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_words"),
+                 F.sum("bits").cast("long").alias("surprisal_bits"))
+            .withColumn(
+                "avg_bits_x100",
+                F.expr("100 * surprisal_bits DIV n_words").cast("long")))
+
+
+def plagiarism_pairs(docs: DataFrame, k: int = 8, w: int = 4,
+                     min_shared: int = 2,
+                     max_doc_freq: int | None = 20) -> DataFrame:
+    """Cross-document partial-duplicate candidates from winnowing
+    fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): two documents
+    sharing ``min_shared`` or more winnowed fingerprints share — by the
+    winnowing guarantee — at least that many substrings of length
+    ≥ k+w-1, the MOSS plagiarism/quotation signal that set-level
+    Jaccard misses when the copied span is a small fraction of either
+    document.
+
+    Returns (doc_a, doc_b, n_shared) with doc_a < doc_b.
+
+    Scale shape: inverted-index self-join keyed on the fingerprint
+    (the same plan as ``jaccard_pairs``), at the winnowed ~2/(w+1)
+    density of the raw gram set. ``max_doc_freq`` is the hot-key skew
+    cap: fingerprints present in more documents than that (site
+    boilerplate) leave the index BEFORE the self-join, bounding every
+    join key's fan-out to ``max_doc_freq²`` — the standard
+    stop-fingerprint filter, applied identically in the oracle so the
+    threshold semantics stay exact."""
+    fp = winnow_fingerprints(docs, k=k, w=w)
+    if max_doc_freq is not None:
+        keep = (fp.groupBy("fp")
+                .agg(F.count("*").alias("df"))
+                .filter(F.col("df") <= max_doc_freq)
+                .select("fp"))
+        fp = fp.join(keep, "fp")
+    a, b = fp.alias("a"), fp.alias("b")
+    return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").cast("long").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))
+
+
 def tfidf_keywords(docs: DataFrame, k: int = 3,
                    broadcast_vocab: bool = False) -> DataFrame:
     """Per-document keyword extraction: top-``k`` tokens by an

@@ -1396,3 +1396,93 @@ def test_normalize_text_nfc(spark):
     # a NULL-text doc was not rewritten: changed is False, not NULL,
     # so audit counts sum to the doc count
     assert got[5] == (None, False)
+
+
+def test_surprisal_stats_exact_bits(spark):
+    """Integer unigram surprisal matches a Python recount with real
+    floor(log2) — the bin-length formulation is exactly floor_log2, not
+    an approximation of it; quality tails rank as expected."""
+    import math
+
+    from collections import Counter
+
+    from html_parser_spark.operators import textstats
+
+    rows = [(1, "a b a c"), (2, "a a a a"), (3, "x y z q")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    cnt = Counter(w for _, t in rows for w in t.split(" "))
+    total = sum(cnt.values())
+    got = {r["doc_id"]: (r["n_words"], r["surprisal_bits"],
+                         r["avg_bits_x100"])
+           for r in textstats.surprisal_stats(
+               docs, broadcast_vocab=True).collect()}
+    for did, text in rows:
+        ws = text.split(" ")
+        bits = sum(int(math.log2(total)) - int(math.log2(cnt[w]))
+                   for w in ws)
+        assert got[did] == (len(ws), bits, 100 * bits // len(ws)), \
+            (did, got[did])
+    # rare-token doc scores strictly above the repeated-token doc
+    assert got[3][2] > got[2][2]
+
+
+def test_containment_pairs_asymmetric(spark):
+    """A short doc fully quoted inside a long one is caught by
+    containment (100%) in exactly one direction, while its Jaccard
+    stays below any useful symmetric threshold."""
+    from html_parser_spark.operators import dedup
+
+    contained = "alpha beta gamma delta epsilon"
+    container = contained + " " + " ".join(f"filler{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, contained), (2, container), (3, "totally different words "
+                                             "nothing shared here at all")],
+        ["doc_id", "text"])
+    out = dedup.containment_pairs(docs, n=3, min_pct=80).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row["doc_contained"], row["doc_container"]) == (1, 2)
+    assert row["inter"] == row["n_contained"] == 3  # all 3 shingles of doc 1
+    # the same pair is invisible to symmetric Jaccard at 60%
+    jac = dedup.jaccard_pairs(docs, n=3, min_pct=60).collect()
+    assert jac == []
+
+
+def test_containment_pairs_mutual_and_cap(spark):
+    """Identical docs contain each other (two rows); the hot-shingle
+    cap removes corpus-wide boilerplate shingles from the index."""
+    from html_parser_spark.operators import dedup
+
+    same = "one two three four five six"
+    rows = [(i, same) for i in range(1, 4)]  # 3 identical docs
+    rows += [(10 + i, f"unique{i} page boiler plate line") for i in range(30)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.containment_pairs(docs, n=3, min_pct=80,
+                                  max_doc_freq=20).collect()
+    pairs = {(r["doc_contained"], r["doc_container"]) for r in out}
+    # both directions for each of the 3 identical-doc pairs
+    assert pairs == {(1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (3, 2)}
+    # "page boiler plate" etc. appear in 30 docs > cap, so the 30
+    # boilerplate docs generate no pair despite sharing most shingles
+    assert all(d < 10 for p in pairs for d in p)
+
+
+def test_plagiarism_pairs_shared_passage(spark):
+    """Two docs sharing one long passage (a fraction of each) pair up;
+    an unrelated doc does not; min_shared filters single-fingerprint
+    coincidences."""
+    from html_parser_spark.operators import textstats
+
+    passage = "the exact copied paragraph travels between documents"
+    d1 = "intro text before. " + passage + " and a unique ending one"
+    d2 = "other opening words. " + passage + " different tail entirely"
+    d3 = "nothing in common with either of those two documents at all"
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], ["doc_id", "text"])
+    out = textstats.plagiarism_pairs(docs, k=8, w=4, min_shared=2,
+                                     max_doc_freq=20).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in out] == [(1, 2)]
+    # winnowing guarantee: a shared substring of len >= k+w-1 = 11
+    # yields shared fingerprints; the passage is far longer, so well
+    # above the min_shared floor
+    assert out[0]["n_shared"] >= 2
