@@ -1249,6 +1249,18 @@ def _q_quality_rarity(spark, sf_dir):
     return textstats.rarity_stats(_docs(spark, sf_dir))
 
 
+def _q_extract_tables(spark, sf_dir):
+    """Structured web-table mining: one row per table cell, via the
+    real parse kernel (cells only exist AFTER tree construction —
+    bucket-1 tables carry fostered STRAY text that must NOT surface in
+    any cell, and bucket-7 pages nest a table inside a cell, which
+    must report under its own table_idx with the outer cell's text
+    excluding it). Oracle is the closed form of the two table-bearing
+    EXTRAS buckets (doc_id % 23 ∈ {1, 7})."""
+    from html_parser_spark.operators.extract import extract_html_tables
+    return extract_html_tables(pages_df(spark, sf_dir))
+
+
 def _q_quality_surprisal(spark, sf_dir):
     """Unigram-LM surprisal quality score in exact integer bits
     (floor_log2 via bin-string length — identical in both engines);
@@ -1331,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_surprisal": _q_quality_surprisal,
         "dedup_containment": _q_dedup_containment,
         "plagiarism_pairs": _q_plagiarism_pairs,
+        "extract_tables": _q_extract_tables,
         # -- driver-verified in r04, rotating through the window --
         "dedup_substrings_overflow": _q_dedup_substrings_overflow,
         "collocations": _q_collocations,
@@ -1363,8 +1376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "similarity_topk": _q_sim_topk,
         "similarity_ann_lsh": _q_sim_lsh,
-        "similarity_ann_ivf": _q_sim_ivf,
         # ------- past slot 50: veterans green in rounds 1–4 -------
+        "similarity_ann_ivf": _q_sim_ivf,
         "dedup_embedding": _q_dedup_embedding,
         "curation_pipeline": _q_curation_pipeline,
         "curation_quota_pipeline": _q_curation_quota,
@@ -1878,6 +1891,26 @@ SELECT doc_id,
        sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END)::bigint AS n_rare
 FROM wt JOIN c USING (w)
 GROUP BY doc_id""",
+        # closed form of the two table-bearing EXTRAS buckets: bucket 1
+        # is <table><tbody><tr><td>cellA<td>cellB plus fostered STRAY
+        # (which must NOT appear in any cell); bucket 7 nests a table
+        # inside the outer cell — outer cell text is 'o' (nested table
+        # excluded), the inner table reports under table_idx 1
+        "extract_tables": f"""
+WITH t AS (SELECT doc_id, {URL_SQL} AS url FROM documents
+           WHERE doc_id % 23 IN (1, 7))
+SELECT url, 0::bigint AS table_idx, 0::bigint AS row_idx,
+       0::bigint AS col_idx, false AS is_header, 'cellA' AS cell_text
+FROM t WHERE doc_id % 23 = 1
+UNION ALL
+SELECT url, 0::bigint, 0::bigint, 1::bigint, false, 'cellB'
+FROM t WHERE doc_id % 23 = 1
+UNION ALL
+SELECT url, 0::bigint, 0::bigint, 0::bigint, false, 'o'
+FROM t WHERE doc_id % 23 = 7
+UNION ALL
+SELECT url, 1::bigint, 0::bigint, 0::bigint, false, 'n'
+FROM t WHERE doc_id % 23 = 7""",
         # integer floor_log2 via bin-string length, identical in both
         # engines (bin() is unpadded and prefix-free in Spark AND
         # DuckDB) — the trick that makes an LM-surprisal score exactly

@@ -159,3 +159,78 @@ def extract_main_text(doc: Document) -> tuple[str, int]:
         elif isinstance(n, (Document, DocumentFragment)):
             stack.extend(reversed(n.children))
     return "".join(parts), dropped
+
+
+def extract_tables(doc: Document) -> list[tuple]:
+    """Structured table extraction: every table cell in the document as
+    ``(table_idx, row_idx, col_idx, is_header, cell_text)``.
+
+    Semantics (deterministic on any parsed DOM):
+
+    - tables are numbered in document order, nested tables included —
+      each nested table reports its own cells under its own index;
+    - a table's rows are the ``tr`` elements reached from it without
+      crossing another ``table`` (i.e. direct children or through
+      row groups ``thead``/``tbody``/``tfoot``), in document order;
+    - a row's cells are its ``td``/``th`` element children in order
+      (positional ``col_idx`` — span attributes don't shift indices);
+    - ``cell_text`` is the cell's textContent EXCLUDING nested table
+      subtrees, so no character is attributed to two tables.
+
+    This is the tables→training-rows step of a web-corpus pipeline
+    (WDC-style web-table corpus construction); the reference exposes
+    the same information via its DOM (serializer walks these nodes —
+    /root/reference/lib/Serializer.php), we surface it columnar."""
+    tables: list[Element] = []
+    stack: list = [doc]
+    while stack:
+        n = stack.pop()
+        if type(n) is Element:
+            if n.namespace == HTML_NS and n.name == "table":
+                tables.append(n)
+            stack.extend(reversed(n.children))
+        elif isinstance(n, (Document, DocumentFragment)):
+            stack.extend(reversed(n.children))
+    out: list[tuple] = []
+    for t_idx, table in enumerate(tables):
+        r_idx = 0
+        tstack: list = list(reversed(table.children))
+        while tstack:
+            n = tstack.pop()
+            if type(n) is not Element or n.namespace != HTML_NS:
+                continue
+            if n.name == "table":
+                continue  # nested table: its own index reports it
+            if n.name == "tr":
+                c_idx = 0
+                for cell in n.children:
+                    if (type(cell) is Element
+                            and cell.namespace == HTML_NS
+                            and cell.name in ("td", "th")):
+                        out.append((t_idx, r_idx, c_idx,
+                                    cell.name == "th",
+                                    _cell_text(cell)))
+                        c_idx += 1
+                r_idx += 1
+                continue
+            tstack.extend(reversed(n.children))
+        # r_idx counts this table's rows even when rows have no cells
+    return out
+
+
+def _cell_text(cell: Element) -> str:
+    """textContent of a table cell minus any nested-table subtree."""
+    parts: list[str] = []
+    stack: list = list(reversed(cell.children))
+    while stack:
+        n = stack.pop()
+        t = type(n)
+        if t is Text:
+            parts.append(n.data)
+        elif t is Element:
+            if n.namespace == HTML_NS and n.name == "table":
+                continue
+            stack.extend(reversed(n.children))
+        elif isinstance(n, (Document, DocumentFragment)):
+            stack.extend(reversed(n.children))
+    return "".join(parts)

@@ -316,3 +316,70 @@ def extract_pdf_pages(pdfs_df):
             yield pd.DataFrame(rows, columns=cols)
 
     return pdfs_df.select("url", "pdf").mapInPandas(run, schema=PDF_SCHEMA)
+
+
+TABLES_SCHEMA = ("url string, table_idx long, row_idx long, col_idx long, "
+                 "is_header boolean, cell_text string")
+
+
+def extract_html_tables(pages_df):
+    """Structured table extraction over the corpus: (url, html) →
+    one row per table cell (url, table_idx, row_idx, col_idx,
+    is_header, cell_text) — the web-table mining step (WDC-style) that
+    turns crawled pages into relational training rows.
+
+    Same kernel discipline as the flagship extractor: real WHATWG
+    parse per document inside an Arrow batch (the cells only exist
+    AFTER foster-parenting and implied-tag insertion run — a regex
+    "table scraper" gets fostered text and unclosed rows wrong),
+    column-pruned input, per-doc failure isolation. Output fans OUT
+    (0..n cells per page), which mapInPandas expresses naturally —
+    rows yield per batch, no explode of a materialized array column,
+    so a million-cell page never builds a single giant array value."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gc
+
+        from ..engine.extractor import extract_tables
+
+        # same GC discipline as the text/links kernels: the DOM has
+        # parent↔child cycles — disable the cyclic collector during
+        # the parse loop, collect once per Arrow batch
+        gc_was_enabled = gc.isenabled()
+        gc.disable()
+        try:
+            for pdf in batches:
+                urls, ts, rs, cs, hs, txts = [], [], [], [], [], []
+                for url, html in zip(pdf["url"], pdf["html"]):
+                    raw = bytes(html) if html is not None else b""
+                    try:
+                        o = parse(raw)
+                        cells = extract_tables(o.document)
+                    except Exception:
+                        cells = []  # isolation: bad page, zero cells
+                    for t, r, c, h, txt in cells:
+                        urls.append(url)
+                        ts.append(t)
+                        rs.append(r)
+                        cs.append(c)
+                        hs.append(h)
+                        txts.append(txt)
+                # dtypes pinned so an empty batch (no tables in any
+                # page) doesn't surface float64 columns Arrow refuses
+                # to cast to long/boolean
+                yield pd.DataFrame({
+                    "url": pd.Series(urls, dtype=object),
+                    "table_idx": pd.Series(ts, dtype="int64"),
+                    "row_idx": pd.Series(rs, dtype="int64"),
+                    "col_idx": pd.Series(cs, dtype="int64"),
+                    "is_header": pd.Series(hs, dtype=bool),
+                    "cell_text": pd.Series(txts, dtype=object),
+                })
+                del pdf
+                gc.collect()
+        finally:
+            if gc_was_enabled:
+                gc.enable()
+
+    return pages_df.select("url", "html").mapInPandas(
+        run, schema=TABLES_SCHEMA)

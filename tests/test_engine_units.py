@@ -542,3 +542,51 @@ class TestPdfExtract:
                b"3 0 obj\n<< /Length 99 >>\nstream\n"
                b"(b) Tj ET\nendstream\nendobj\n")
         assert extract_pdf_text(doc) == "a\nb"
+
+
+class TestExtractTables:
+    """Structured table extraction: document-order numbering, nested
+    tables, fostered text exclusion, th headers, cell-less rows."""
+
+    def _cells(self, html: bytes):
+        from html_parser_spark.engine import parse
+        from html_parser_spark.engine.extractor import extract_tables
+        return extract_tables(parse(html).document)
+
+    def test_fostered_text_not_in_cells(self):
+        got = self._cells(b"<div><table><tbody><tr><td>cellA</td>"
+                          b"<td>cellB</td></tr>STRAY</tbody></table></div>")
+        assert got == [(0, 0, 0, False, "cellA"), (0, 0, 1, False, "cellB")]
+
+    def test_nested_table_own_index_outer_text_excluded(self):
+        got = self._cells(b"<table><tr><td>o<table><tr><td>n</td></tr>"
+                          b"</table>tail</td></tr></table>")
+        # the outer cell's text is 'o' + 'tail' (text resumes in the
+        # td once the nested table closes); the nested table's cell
+        # reports under its own table_idx, never inside the outer cell
+        assert got == [(0, 0, 0, False, "otail"), (1, 0, 0, False, "n")]
+
+    def test_headers_sections_and_short_rows(self):
+        got = self._cells(b"<table><thead><tr><th>H1</th><th>H2</th></tr>"
+                          b"</thead><tbody><tr><td>a</td><td>b</td></tr>"
+                          b"<tr><td>c</td></tr></tbody></table>")
+        assert got == [(0, 0, 0, True, "H1"), (0, 0, 1, True, "H2"),
+                       (0, 1, 0, False, "a"), (0, 1, 1, False, "b"),
+                       (0, 2, 0, False, "c")]
+
+    def test_two_sibling_tables_document_order(self):
+        got = self._cells(b"<table><tr><td>first</td></tr></table>"
+                          b"<table><tr><td>second</td></tr></table>")
+        assert got == [(0, 0, 0, False, "first"), (1, 0, 0, False, "second")]
+
+    def test_row_without_cells_still_counts(self):
+        got = self._cells(b"<table><tr></tr><tr><td>x</td></tr></table>")
+        assert got == [(0, 1, 0, False, "x")]
+
+    def test_cell_with_markup_text(self):
+        got = self._cells(b"<table><tr><td><b>bo</b>ld <i>i</i></td>"
+                          b"</tr></table>")
+        assert got == [(0, 0, 0, False, "bold i")]
+
+    def test_no_tables(self):
+        assert self._cells(b"<p>plain paragraph</p>") == []
