@@ -1261,6 +1261,38 @@ def _q_extract_tables(spark, sf_dir):
     return extract_html_tables(pages_df(spark, sf_dir))
 
 
+# target paths are '/r/doc' + 8-digit zero-padded (7*doc_id+1), so
+# prefix choice controls which nxt bands each rule bites: disallow
+# '...0000' covers nxt<10⁴ (every target at sf≤0.01, a band at sf0.1),
+# allow '...00001' carves the override band nxt∈[1000,2000), disallow
+# '...0003' adds a band only the sf0.1 range reaches, and the two '/'
+# rules blanket two of the five site hosts — all four verdict paths
+# (override, disallow, blanket, default-allow) fire at every scale
+_ROBOTS_RULES = (
+    ("example.org", "disallow", "/r/doc0000"),
+    ("example.org", "allow", "/r/doc00001"),
+    ("example.org", "disallow", "/r/doc0003"),
+    ("site1.example.com", "disallow", "/"),
+    ("site3.example.com", "disallow", "/"),
+)
+
+
+def _q_frontier_robots(spark, sf_dir):
+    """Robots-exclusion compliance over the crawl frontier: Google-REP
+    longest-match (allow '/r/doc12' overrides disallow '/r/doc1' on
+    the shared-prefix targets; the '/' rules kill two of the five site
+    hosts; unmatched urls default to allowed). The ruleset is a closed
+    constant mirrored as VALUES in the oracle, which re-derives the
+    frontier AND the match/rank logic independently."""
+    from html_parser_spark.operators.links import extract_links, frontier
+    from html_parser_spark.operators.robots import robots_filter
+    p = pages_df(spark, sf_dir)
+    rules = spark.createDataFrame(list(_ROBOTS_RULES),
+                                  ["host", "rule", "prefix"])
+    return robots_filter(frontier(extract_links(p), p), rules,
+                         url_col="canon", broadcast_rules=True)
+
+
 def _q_quality_surprisal(spark, sf_dir):
     """Unigram-LM surprisal quality score in exact integer bits
     (floor_log2 via bin-string length — identical in both engines);
@@ -1344,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": _q_dedup_containment,
         "plagiarism_pairs": _q_plagiarism_pairs,
         "extract_tables": _q_extract_tables,
+        "frontier_robots": _q_frontier_robots,
         # -- driver-verified in r04, rotating through the window --
         "dedup_substrings_overflow": _q_dedup_substrings_overflow,
         "collocations": _q_collocations,
@@ -1375,8 +1408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "pii_scrub": _q_pii_scrub,
         "similarity_topk": _q_sim_topk,
-        "similarity_ann_lsh": _q_sim_lsh,
         # ------- past slot 50: veterans green in rounds 1–4 -------
+        "similarity_ann_lsh": _q_sim_lsh,
         "similarity_ann_ivf": _q_sim_ivf,
         "dedup_embedding": _q_dedup_embedding,
         "curation_pipeline": _q_curation_pipeline,
@@ -1891,6 +1924,48 @@ SELECT doc_id,
        sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END)::bigint AS n_rare
 FROM wt JOIN c USING (w)
 GROUP BY doc_id""",
+        # independent re-derivation of frontier + REP longest-match:
+        # the rules VALUES table mirrors _ROBOTS_RULES, and the rank
+        # window encodes specificity-then-allow exactly like the
+        # operator (matched first, longest prefix, 'allow' < 'disallow')
+        "frontier_robots": f"""
+WITH b AS (SELECT doc_id,
+                  lpad(((doc_id * 7 + 1) % 100000000)::varchar, 8, '0')
+                    AS nxt,
+                  (doc_id % 5)::varchar AS h
+           FROM documents WHERE doc_id % 23 = 8),
+t AS (SELECT 'https://example.org/r/doc' || nxt || '.html' AS canon FROM b
+      UNION ALL
+      SELECT 'https://site' || h || '.example.com/t' FROM b),
+agg AS (SELECT canon, count(*)::bigint AS n_refs FROM t GROUP BY canon),
+seen AS (SELECT DISTINCT {URL_SQL} AS canon FROM documents),
+fr AS (SELECT a.canon, a.n_refs
+       FROM agg a LEFT JOIN seen s ON s.canon = a.canon
+       WHERE s.canon IS NULL),
+rules(host, rule, prefix) AS (VALUES
+    {", ".join(f"('{h}', '{r}', '{p}')" for h, r, p in _ROBOTS_RULES)}),
+l AS (SELECT canon, n_refs,
+             regexp_extract(canon,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1) AS host,
+             CASE WHEN regexp_replace(canon,
+                      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') = ''
+                  THEN '/'
+                  ELSE regexp_replace(canon,
+                      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')
+             END AS path
+      FROM fr),
+m AS (SELECT l.canon, l.n_refs, r.rule, r.prefix
+      FROM l LEFT JOIN rules r
+        ON r.host = l.host AND starts_with(l.path, r.prefix)),
+rk AS (SELECT *, row_number() OVER (PARTITION BY canon
+           ORDER BY (prefix IS NOT NULL) DESC, length(prefix) DESC,
+                    rule ASC) AS rn
+       FROM m)
+SELECT canon, n_refs,
+       coalesce(rule, '') <> 'disallow' AS allowed,
+       coalesce(rule, '') AS rule,
+       coalesce(prefix, '') AS prefix
+FROM rk WHERE rn = 1""",
         # closed form of the two table-bearing EXTRAS buckets: bucket 1
         # is <table><tbody><tr><td>cellA<td>cellB plus fostered STRAY
         # (which must NOT appear in any cell); bucket 7 nests a table

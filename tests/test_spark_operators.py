@@ -1486,3 +1486,75 @@ def test_plagiarism_pairs_shared_passage(spark):
     # yields shared fingerprints; the passage is far longer, so well
     # above the min_shared floor
     assert out[0]["n_shared"] >= 2
+
+
+def test_parse_robots_lines_groups_and_comments():
+    """RFC 9309 subset: star-group extraction, comments, empty
+    Disallow, consecutive user-agent lines sharing a group, non-star
+    groups ignored."""
+    from html_parser_spark.operators.robots import parse_robots_lines
+
+    body = """
+# crawler policy
+User-agent: gptbot
+Disallow: /private
+User-agent: *
+Disallow: /tmp/   # trailing comment
+Allow: /tmp/ok
+Disallow:
+
+User-agent: otherbot
+User-agent: *
+Disallow: /shared
+"""
+    got = parse_robots_lines("h.example", body)
+    assert got == [("h.example", "disallow", "/tmp/"),
+                   ("h.example", "allow", "/tmp/ok"),
+                   ("h.example", "disallow", "/shared")]
+
+
+def test_parse_robots_txt_and_filter_semantics(spark):
+    """End-to-end: parse robots bodies into rules, filter urls with
+    longest-match + allow-tiebreak + default-allow semantics."""
+    from html_parser_spark.operators.robots import (parse_robots_txt,
+                                                    robots_filter)
+
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /d\nAllow: /d/ok\n"),
+         ("b.com", "User-agent: *\nDisallow: /\n")],
+        ["host", "body"])
+    rules = parse_robots_txt(robots)
+    urls = spark.createDataFrame(
+        [("https://a.com/d/blocked",),   # disallow /d wins
+         ("https://a.com/d/ok/page",),   # allow /d/ok is longer
+         ("https://a.com/open",),        # no match -> allowed
+         ("https://b.com/anything",),    # blanket disallow
+         ("https://c.com/x",),           # host without rules
+         ("https://b.com",)],            # empty path counts as '/'
+        ["canon"])
+    got = {r["canon"]: (r["allowed"], r["rule"], r["prefix"])
+           for r in robots_filter(urls, rules, url_col="canon").collect()}
+    assert got["https://a.com/d/blocked"] == (False, "disallow", "/d")
+    assert got["https://a.com/d/ok/page"] == (True, "allow", "/d/ok")
+    assert got["https://a.com/open"] == (True, "", "")
+    assert got["https://b.com/anything"] == (False, "disallow", "/")
+    assert got["https://c.com/x"] == (True, "", "")
+    assert got["https://b.com"] == (False, "disallow", "/")
+
+
+def test_frontier_robots_exercises_all_verdict_paths(spark):
+    """The contract query's corpus hits every semantic branch: the
+    allow-override (doc12... targets), plain disallows, blanket host
+    disallows, and default-allow — so the oracle match is meaningful,
+    not vacuous."""
+    import __spark_entry__ as e
+
+    rows = e._q_frontier_robots(spark, SF_DIR).collect()
+    verdicts = {(r["rule"], r["prefix"]) for r in rows}
+    assert ("allow", "/r/doc00001") in verdicts    # longest-match override
+    assert ("disallow", "/r/doc0000") in verdicts  # plain disallow
+    assert ("disallow", "/") in verdicts           # blanket host rule
+    assert ("", "") in verdicts                    # default allow
+    # and allow/disallow both non-empty overall
+    assert any(r["allowed"] for r in rows)
+    assert any(not r["allowed"] for r in rows)
