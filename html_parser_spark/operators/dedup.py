@@ -142,15 +142,26 @@ def containment_pairs(docs: DataFrame, n: int = 3, min_pct: int = 80,
     sb = sizes.select(F.col("doc_id").alias("doc_b"),
                       F.col("n_grams").alias("nb"))
     joined = inter.join(sa, "doc_a").join(sb, "doc_b")
-    fwd = (joined.filter(100 * F.col("inter") >= min_pct * F.col("na"))
-           .select(F.col("doc_a").alias("doc_contained"),
-                   F.col("doc_b").alias("doc_container"),
-                   "inter", F.col("na").cast("long").alias("n_contained")))
-    rev = (joined.filter(100 * F.col("inter") >= min_pct * F.col("nb"))
-           .select(F.col("doc_b").alias("doc_contained"),
-                   F.col("doc_a").alias("doc_container"),
-                   "inter", F.col("nb").cast("long").alias("n_contained")))
-    return fwd.unionByName(rev)
+    # both directions in ONE pass over the candidate table: a union of
+    # two filtered branches would re-evaluate the entire inverted-index
+    # self-join lineage per branch (measured 26 exchanges vs 13) — the
+    # recurring double-evaluation gotcha. The 2-element explode is a
+    # narrow row-doubling of the tiny pair table instead.
+    d = F.col("_dir")
+    size_of = {0: F.col("na"), 1: F.col("nb")}
+    return (joined
+            .select("*", F.explode(F.array(F.lit(0), F.lit(1)))
+                    .alias("_dir"))
+            .where(100 * F.col("inter")
+                   >= min_pct * F.when(d == 0, size_of[0])
+                   .otherwise(size_of[1]))
+            .select(F.when(d == 0, F.col("doc_a")).otherwise(F.col("doc_b"))
+                    .alias("doc_contained"),
+                    F.when(d == 0, F.col("doc_b")).otherwise(F.col("doc_a"))
+                    .alias("doc_container"),
+                    "inter",
+                    F.when(d == 0, size_of[0]).otherwise(size_of[1])
+                    .cast("long").alias("n_contained")))
 
 
 def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:

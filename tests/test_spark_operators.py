@@ -1558,3 +1558,38 @@ def test_frontier_robots_exercises_all_verdict_paths(spark):
     # and allow/disallow both non-empty overall
     assert any(r["allowed"] for r in rows)
     assert any(not r["allowed"] for r in rows)
+
+
+def test_round5_family_plan_shapes(spark):
+    """Plan-shape floor for the round-5 operators: no cartesian
+    products; the scalar-attach in surprisal is the one sanctioned
+    BroadcastNestedLoopJoin (a 1-row broadcast total — the standard
+    scalar join, not a pair blow-up); exchange budgets pinned so the
+    single-pass containment formulation (13, equal to jaccard_pairs)
+    can't silently regress to the double-evaluated union (26)."""
+    from html_parser_spark.operators import dedup, robots, textstats
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common t{i % 3} x y z") for i in range(30)],
+        ["doc_id", "text"])
+    rules = spark.createDataFrame([("h", "disallow", "/x")],
+                                  ["host", "rule", "prefix"])
+    fr = spark.createDataFrame(
+        [("https://h/x", 1), ("https://h/y", 2)], ["canon", "n_refs"])
+
+    plans = {
+        "surprisal": textstats.surprisal_stats(docs),
+        "containment": dedup.containment_pairs(docs, n=3, min_pct=80,
+                                               max_doc_freq=20),
+        "plagiarism": textstats.plagiarism_pairs(docs),
+        "robots": robots.robots_filter(fr, rules),
+    }
+    budget = {"surprisal": 4, "containment": 13, "plagiarism": 9,
+              "robots": 3}
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        if name != "surprisal":
+            assert "BroadcastNestedLoopJoin" not in plan, name
+        n_ex = plan.count("Exchange hashpartitioning")
+        assert n_ex <= budget[name], (name, n_ex)
