@@ -1279,11 +1279,12 @@ _ROBOTS_RULES = (
 
 def _q_frontier_robots(spark, sf_dir):
     """Robots-exclusion compliance over the crawl frontier: Google-REP
-    longest-match (allow '/r/doc12' overrides disallow '/r/doc1' on
-    the shared-prefix targets; the '/' rules kill two of the five site
-    hosts; unmatched urls default to allowed). The ruleset is a closed
-    constant mirrored as VALUES in the oracle, which re-derives the
-    frontier AND the match/rank logic independently."""
+    longest-match (allow '/r/doc00001' overrides disallow '/r/doc0000'
+    on the shared-prefix band; the '/' rules blanket two of the five
+    site hosts; unmatched urls default to allowed — see the band
+    comment on _ROBOTS_RULES). The ruleset is a closed constant
+    mirrored as VALUES in the oracle, which re-derives the frontier
+    AND the match/rank logic independently."""
     from html_parser_spark.operators.links import extract_links, frontier
     from html_parser_spark.operators.robots import robots_filter
     p = pages_df(spark, sf_dir)
@@ -1946,7 +1947,8 @@ rules(host, rule, prefix) AS (VALUES
     {", ".join(f"('{h}', '{r}', '{p}')" for h, r, p in _ROBOTS_RULES)}),
 l AS (SELECT canon, n_refs,
              regexp_extract(canon,
-                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1) AS host,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]*)',
+                 1) AS host,
              CASE WHEN regexp_replace(canon,
                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') = ''
                   THEN '/'

@@ -62,6 +62,45 @@ def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
         "doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
 
 
+def capped_keys(df: DataFrame, key_col: str,
+                max_doc_freq: int | None) -> DataFrame:
+    """Hot-key skew control shared by every inverted-index self-join
+    (jaccard/containment shingles, plagiarism fingerprints): drop keys
+    present in more than ``max_doc_freq`` rows BEFORE the self-join,
+    bounding any join key's fan-out to ``max_doc_freq²`` pairs. This
+    is the literature's standard stop-shingle filter — sizes computed
+    downstream use the capped sets, so threshold semantics stay exact
+    and oracle-reproducible."""
+    if max_doc_freq is None:
+        return df
+    keep = (df.groupBy(key_col)
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select(key_col))
+    return df.join(keep, key_col)
+
+
+def _pair_candidates(docs: DataFrame, n: int,
+                     max_doc_freq: int | None) -> DataFrame:
+    """Shared candidate generation for the set-similarity pair
+    operators: capped shingle inverted index → self-join →
+    (doc_a, doc_b, inter, na, nb) with doc_a < doc_b. Jaccard and
+    containment differ only in the final threshold direction."""
+    g = capped_keys(word_shingles(docs, n), "gram", max_doc_freq)
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    a, b = g.alias("a"), g.alias("b")
+    inter = (a.join(b, (F.col("a.gram") == F.col("b.gram"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").cast("long").alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_grams").alias("nb"))
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
+
+
 def jaccard_pairs(docs: DataFrame, n: int = 3, min_pct: int = 60,
                   max_doc_freq: int | None = None) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard ≥ min_pct/100.
@@ -79,25 +118,7 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, min_pct: int = 60,
     shingle sets, so the threshold semantics stay exact and
     oracle-reproducible (this is the SimHash/MinHash literature's
     standard stop-shingle filter, not an approximation bolted on)."""
-    g = word_shingles(docs, n)
-    if max_doc_freq is not None:
-        freq = (g.groupBy("gram")
-                .agg(F.count("*").alias("df"))
-                .filter(F.col("df") <= max_doc_freq)
-                .select("gram"))
-        g = g.join(freq, "gram")
-    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    a, b = g.alias("a"), g.alias("b")
-    inter = (a.join(b, (F.col("a.gram") == F.col("b.gram"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("doc_a"),
-                      F.col("b.doc_id").alias("doc_b"))
-             .agg(F.count("*").alias("inter")))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"),
-                      F.col("n_grams").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"),
-                      F.col("n_grams").alias("nb"))
-    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+    return (_pair_candidates(docs, n, max_doc_freq)
             .withColumn("union_", F.col("na") + F.col("nb") - F.col("inter"))
             .filter(100 * F.col("inter") >= min_pct * F.col("union_"))
             .select("doc_a", "doc_b", "inter",
@@ -123,25 +144,7 @@ def containment_pairs(docs: DataFrame, n: int = 3, min_pct: int = 80,
     hot-shingle cap as ``jaccard_pairs`` — the candidate generation is
     shared shape; only the final filter direction differs, so the
     incremental cost over a Jaccard pass is nil."""
-    g = word_shingles(docs, n)
-    if max_doc_freq is not None:
-        freq = (g.groupBy("gram")
-                .agg(F.count("*").alias("df"))
-                .filter(F.col("df") <= max_doc_freq)
-                .select("gram"))
-        g = g.join(freq, "gram")
-    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    a, b = g.alias("a"), g.alias("b")
-    inter = (a.join(b, (F.col("a.gram") == F.col("b.gram"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("doc_a"),
-                      F.col("b.doc_id").alias("doc_b"))
-             .agg(F.count("*").cast("long").alias("inter")))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"),
-                      F.col("n_grams").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"),
-                      F.col("n_grams").alias("nb"))
-    joined = inter.join(sa, "doc_a").join(sb, "doc_b")
+    joined = _pair_candidates(docs, n, max_doc_freq)
     # both directions in ONE pass over the candidate table: a union of
     # two filtered branches would re-evaluate the entire inverted-index
     # self-join lineage per branch (measured 26 exchanges vs 13) — the

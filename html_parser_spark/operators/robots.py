@@ -36,7 +36,9 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from .urls import SCHEME_HOST_RE
 
-HOST_OF_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)"
+# strips userinfo like links.HOST_RE does — 'https://u@a.com/x' must
+# match a.com's rules, or a crafted userinfo bypasses robots entirely
+HOST_OF_RE = "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]*)"
 
 ROBOTS_SCHEMA = "host string, rule string, prefix string"
 
@@ -46,8 +48,9 @@ def parse_robots_lines(host: str, body: str) -> list[tuple]:
     Allow/Disallow lines from ``User-agent: *`` groups. Comments
     (``#``) strip to end of line; field names are case-insensitive; an
     empty Disallow value (``Disallow:``) means allow-all and yields no
-    rule; a blank line ends a group only after rules began (per the
-    RFC, consecutive user-agent lines share one group)."""
+    rule. Per RFC 9309: consecutive user-agent lines share one group,
+    blank lines do NOT end a group (only the next user-agent line
+    after rules have begun starts a new one)."""
     rules: list[tuple] = []
     in_star = False
     group_has_rules = False
@@ -100,14 +103,17 @@ def robots_filter(frontier_df: DataFrame, rules_df: DataFrame,
     matches the url path, the longest prefix wins; ties go to
     ``allow`` (which sorts before ``disallow``, so one deterministic
     window ordering encodes the tiebreak); a url with no matching rule
-    is allowed. Input columns pass through; adds ``allowed`` boolean
-    plus the winning ``rule``/``prefix`` ('' when no rule matched) for
-    crawl-audit logs."""
+    is allowed. Every input ROW passes through annotated — the verdict
+    window partitions on a per-row tag, not the url value, so two
+    input rows sharing a url each keep their payload columns. Adds
+    ``allowed`` boolean plus the winning ``rule``/``prefix`` ('' when
+    no rule matched) for crawl-audit logs."""
     host = F.regexp_extract(F.col(url_col), HOST_OF_RE, 1)
     path_raw = F.regexp_replace(F.col(url_col), SCHEME_HOST_RE, "")
     path = F.when(path_raw == "", F.lit("/")).otherwise(path_raw)
-    annotated = frontier_df.withColumn("_host", host) \
-                           .withColumn("_path", path)
+    annotated = (frontier_df.withColumn("_host", host)
+                 .withColumn("_path", path)
+                 .withColumn("_row", F.monotonically_increasing_id()))
     rules = rules_df.select(F.col("host").alias("_host"),
                             "rule", "prefix")
     if broadcast_rules:
@@ -120,7 +126,7 @@ def robots_filter(frontier_df: DataFrame, rules_df: DataFrame,
         (annotated["_host"] == rules["_host"])
         & annotated["_path"].startswith(rules["prefix"]),
         "left").drop(rules["_host"])
-    w = Window.partitionBy(url_col).orderBy(
+    w = Window.partitionBy("_row").orderBy(
         F.col("prefix").isNotNull().desc(),
         F.length("prefix").desc_nulls_last(),
         F.col("rule").asc_nulls_last())
@@ -131,4 +137,4 @@ def robots_filter(frontier_df: DataFrame, rules_df: DataFrame,
                         != F.lit("disallow"))
             .withColumn("rule", F.coalesce(F.col("rule"), F.lit("")))
             .withColumn("prefix", F.coalesce(F.col("prefix"), F.lit("")))
-            .drop("_rn", "_host", "_path"))
+            .drop("_rn", "_row", "_host", "_path"))

@@ -249,13 +249,10 @@ def plagiarism_pairs(docs: DataFrame, k: int = 8, w: int = 4,
     join key's fan-out to ``max_doc_freq²`` — the standard
     stop-fingerprint filter, applied identically in the oracle so the
     threshold semantics stay exact."""
-    fp = winnow_fingerprints(docs, k=k, w=w)
-    if max_doc_freq is not None:
-        keep = (fp.groupBy("fp")
-                .agg(F.count("*").alias("df"))
-                .filter(F.col("df") <= max_doc_freq)
-                .select("fp"))
-        fp = fp.join(keep, "fp")
+    from .dedup import capped_keys
+
+    fp = capped_keys(winnow_fingerprints(docs, k=k, w=w), "fp",
+                     max_doc_freq)
     a, b = fp.alias("a"), fp.alias("b")
     return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))

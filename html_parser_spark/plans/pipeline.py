@@ -278,9 +278,11 @@ def _table_rows_from_metadata(committed: DataFrame) -> int:
             return committed.count()
         try:
             total += pq.ParquetFile(path).metadata.num_rows
-        except OSError:
-            # pathological local URI (symlinked mount, odd escaping):
-            # fall back to the scan rather than crash the run report
+        except (OSError, ValueError):
+            # unreadable path (symlinked mount, odd escaping) OR a
+            # corrupt/truncated footer — pyarrow raises ArrowInvalid,
+            # which subclasses ValueError, not OSError. Fall back to
+            # the scan rather than crash the run report.
             return committed.count()
     return total
 
