@@ -170,6 +170,28 @@ def main() -> None:
             lambda *_: (multimodal.image_ahash(media)
                         .groupBy("ahash", "width", "height")
                         .agg(F.count("*").alias("n"))), None, reps=2)
+        # round-5 operators: LM-surprisal scoring, set-containment and
+        # winnowed-fingerprint pair generation on the raw tables
+        for name, reps in (("quality_surprisal", 2),
+                           ("dedup_containment", 1),
+                           ("plagiarism_pairs", 1)):
+            queries[name] = time_query(qmap[name], spark, sf_dir,
+                                       reps=reps)
+        # table extraction is a parse-kernel pass — run it over the
+        # staged corpus under the production skew plan, like links
+        from html_parser_spark.operators.extract import extract_html_tables
+        queries["extract_tables"] = time_query(
+            lambda *_: extract_html_tables(skew_isolate(pages, cpus * 2)),
+            None, reps=1)
+        # robots verdict stage alone, over the already-staged links
+        # (link harvest cost excluded — measured above)
+        from html_parser_spark.operators.links import frontier
+        from html_parser_spark.operators.robots import robots_filter
+        rules = spark.createDataFrame(list(e._ROBOTS_RULES),
+                                      ["host", "rule", "prefix"])
+        queries["frontier_robots_stage"] = time_query(
+            lambda *_: robots_filter(frontier(links_t, pages), rules,
+                                     broadcast_rules=True), None, reps=2)
 
         out = {
             "metric": "extract_wall_sec",
