@@ -1294,6 +1294,25 @@ def _q_frontier_robots(spark, sf_dir):
                          url_col="canon", broadcast_rules=True)
 
 
+def _q_warc_ingest(spark, sf_dir):
+    """The full ingest round-trip on the container format Common-Crawl
+    data actually ships in: pages packed into 64 multi-record WARC/1.0
+    blobs (applyInPandas), re-parsed by the stdlib record walker
+    (mapInPandas), fed through the production extraction kernel. The
+    oracle is the SAME closed-form golden text as extract_text plus
+    the sha256-epoch closed form for the timestamp — so WARC
+    writing, record walking, HTTP-header stripping, date formatting
+    AND parsing are all value-verified end-to-end, byte-identical
+    text per url."""
+    from html_parser_spark.sources.warc import pages_to_warc, warc_records
+    recovered = warc_records(pages_to_warc(pages_df(spark, sf_dir)))
+    return (extract_pages(recovered, with_spans=False)
+            .join(recovered.select("url", "warc_ts"), "url")
+            .select("url",
+                    F.col("warc_ts").cast("long").alias("ts_epoch"),
+                    "text"))
+
+
 def _q_quality_surprisal(spark, sf_dir):
     """Unigram-LM surprisal quality score in exact integer bits
     (floor_log2 via bin-string length — identical in both engines);
@@ -1378,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "plagiarism_pairs": _q_plagiarism_pairs,
         "extract_tables": _q_extract_tables,
         "frontier_robots": _q_frontier_robots,
+        "warc_ingest": _q_warc_ingest,
         # -- driver-verified in r04, rotating through the window --
         "dedup_substrings_overflow": _q_dedup_substrings_overflow,
         "collocations": _q_collocations,
@@ -1408,8 +1428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs_prod": _q_dedup_simhash_pairs_prod,
         "decontaminate": _q_decontaminate,
         "pii_scrub": _q_pii_scrub,
-        "similarity_topk": _q_sim_topk,
         # ------- past slot 50: veterans green in rounds 1–4 -------
+        "similarity_topk": _q_sim_topk,
         "similarity_ann_lsh": _q_sim_lsh,
         "similarity_ann_ivf": _q_sim_ivf,
         "dedup_embedding": _q_dedup_embedding,
@@ -1925,6 +1945,17 @@ SELECT doc_id,
        sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END)::bigint AS n_rare
 FROM wt JOIN c USING (w)
 GROUP BY doc_id""",
+        # the WARC round-trip must land exactly on the golden text and
+        # the sha256-derived crawl timestamp (same closed form the
+        # corpus generator uses) — any drift in record framing, header
+        # stripping, or date formatting/parsing breaks value equality
+        "warc_ingest": f"""
+SELECT {URL_SQL} AS url,
+       (epoch(TIMESTAMP '2025-01-01')
+        + ('0x' || substr(sha256({URL_SQL}), 1, 8))::bigint
+          % 31536000)::bigint AS ts_epoch,
+       {TEXT_SQL} AS text
+FROM documents""",
         # independent re-derivation of frontier + REP longest-match:
         # the rules VALUES table mirrors _ROBOTS_RULES, and the rank
         # window encodes specificity-then-allow exactly like the

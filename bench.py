@@ -192,6 +192,10 @@ def main() -> None:
         queries["frontier_robots_stage"] = time_query(
             lambda *_: robots_filter(frontier(links_t, pages), rules,
                                      broadcast_rules=True), None, reps=2)
+        # full WARC ingest round-trip (pack → record-walk → parse) at
+        # the raw sf scale — the container-format ingest path
+        queries["warc_ingest"] = time_query(
+            qmap["warc_ingest"], spark, sf_dir, reps=1)
 
         out = {
             "metric": "extract_wall_sec",

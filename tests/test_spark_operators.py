@@ -1639,3 +1639,54 @@ def test_table_rows_metadata_corrupt_footer_falls_back(spark, tmp_path):
         assert "ArrowInvalid" not in type(ex).__name__
     else:
         assert isinstance(n, int)
+
+
+def test_warc_roundtrip_and_salvage():
+    """WARC/1.0 writer↔walker: multi-record round-trip is exact even
+    when payloads contain CRLFCRLF (Content-Length jumps, no scanning
+    inside payloads); non-response records skip; a truncated tail
+    salvages every record before the corruption."""
+    from datetime import datetime
+
+    from html_parser_spark.sources.warc import build_warc, iter_warc
+
+    ts = datetime(2025, 3, 1, 12, 0, 0)
+    tricky = b"<html>\r\n\r\nbody with CRLFCRLF and WARC/1.0 inside</html>"
+    recs = [("https://a/1", ts, tricky),
+            ("https://a/2", ts, b"<p>two</p>")]
+    blob = build_warc(recs)
+    got = list(iter_warc(blob))
+    assert [(u, t, p) for u, t, p in got] == recs
+
+    # a request record between responses is skipped, not an error
+    req = (b"WARC/1.0\r\nWARC-Type: request\r\nContent-Length: 4\r\n"
+           b"\r\nGET \r\n\r\n")
+    parts = blob.split(b"\r\n\r\n")
+    blob2 = build_warc(recs[:1]) + req + build_warc(recs[1:])
+    assert [u for u, _, _ in iter_warc(blob2)] == ["https://a/1",
+                                                   "https://a/2"]
+    assert parts  # keep flake quiet about the unused split
+
+    # truncation mid-record 2: record 1 survives
+    cut = blob2[:len(blob2) - 10]
+    assert [u for u, _, _ in iter_warc(cut)] == ["https://a/1"]
+
+    # unparseable date -> ts None, payload intact
+    bad = build_warc(recs[:1]).replace(b"2025-03-01T12:00:00Z",
+                                       b"not-a-date-at-all-xx")
+    (u, t, p), = iter_warc(bad)
+    assert t is None and p == tricky
+
+
+def test_warc_spark_pack_unpack_matches_input(spark, pages):
+    """pages → 8 multi-record WARC blobs → records: the recovered
+    (url, ts, html) set is exactly the input set."""
+    from html_parser_spark.sources.warc import pages_to_warc, warc_records
+
+    sample = pages.limit(120).select("url", "warc_ts", "html")
+    rec = warc_records(pages_to_warc(sample, n_files=8))
+    a = {(r["url"], r["warc_ts"], bytes(r["html"]))
+         for r in sample.collect()}
+    b = {(r["url"], r["warc_ts"], bytes(r["html"]))
+         for r in rec.collect()}
+    assert a == b
