@@ -178,3 +178,30 @@ def stream_links(spark: SparkSession, source_dir: str, output_dir: str,
                .dropDuplicatesWithinWatermark(["canon"]))
     return _start_parquet_sink(out, output_dir, checkpoint_dir,
                                available_now)
+
+
+WARC_DROP_SCHEMA = "warc_id string, warc binary"
+
+
+def stream_warc_ingest(spark: SparkSession, source_dir: str,
+                       output_dir: str, checkpoint_dir: str,
+                       available_now: bool = True,
+                       max_files_per_trigger: int = 4):
+    """Streaming WARC ingest: a crawler drops multi-record WARC blobs
+    (as parquet of ``(warc_id, warc binary)``) into a directory; each
+    micro-batch walks the new blobs' records and runs the SAME parse
+    kernel as the batch path — record fan-out and extraction are both
+    stateless per-row, so the whole chain is streaming-legal with no
+    state store. The file-source checkpoint gives exactly-once blob
+    processing across restarts; ``maxFilesPerTrigger`` bounds a
+    micro-batch to a fixed number of WARC files, which is the natural
+    unit a fetcher rotates anyway."""
+    from ..sources.warc import warc_records
+
+    src = (spark.readStream
+           .schema(WARC_DROP_SCHEMA)
+           .option("maxFilesPerTrigger", str(max_files_per_trigger))
+           .parquet(source_dir))
+    out = extract_pages(warc_records(src), with_spans=False)
+    return _start_parquet_sink(out, output_dir, checkpoint_dir,
+                               available_now)

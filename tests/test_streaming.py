@@ -405,3 +405,43 @@ def test_stream_links_equals_batch_and_frontier_dedup(spark):
         assert {r["canon"] for r in front.collect()} == batch_canon
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_warc_ingest_equals_batch(spark):
+    """WARC blobs dropped incrementally: the streaming record-walk +
+    parse drains both drops exactly once and lands byte-identical on
+    the batch goldens."""
+    from html_parser_spark.sources.pages import pages_df
+    from html_parser_spark.sources.warc import pages_to_warc
+    from html_parser_spark.streaming.ingest import stream_warc_ingest
+
+    tmp = tempfile.mkdtemp(prefix="hps_warc_stream_")
+    try:
+        pages = pages_df(spark, SF_DIR).cache()
+        sample = pages.limit(200).select("url", "warc_ts", "html").cache()
+        half_a = sample.filter(F.crc32("url") % 2 == 0)
+        half_b = sample.filter(F.crc32("url") % 2 == 1)
+
+        pages_to_warc(half_a, n_files=4).write.parquet(f"{tmp}/src")
+        q = stream_warc_ingest(spark, f"{tmp}/src", f"{tmp}/out",
+                               f"{tmp}/ckpt")
+        q.awaitTermination(120)
+        n1 = spark.read.parquet(f"{tmp}/out").count()
+        assert 0 < n1 < 200
+
+        # a later WARC drop → restart processes only the new blobs
+        pages_to_warc(half_b, n_files=4).write.mode("append") \
+            .parquet(f"{tmp}/src")
+        q = stream_warc_ingest(spark, f"{tmp}/src", f"{tmp}/out",
+                               f"{tmp}/ckpt")
+        q.awaitTermination(120)
+        out = spark.read.parquet(f"{tmp}/out")
+        assert out.count() == 200
+        assert out.select("url").distinct().count() == 200  # exactly-once
+
+        j = out.join(pages.select("url", F.col("text").alias("golden")),
+                     "url")
+        assert j.count() == 200
+        assert j.filter(F.col("text") != F.col("golden")).count() == 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
