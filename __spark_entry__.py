@@ -1305,7 +1305,12 @@ def _q_warc_ingest(spark, sf_dir):
     AND parsing are all value-verified end-to-end, byte-identical
     text per url."""
     from html_parser_spark.sources.warc import pages_to_warc, warc_records
-    recovered = warc_records(pages_to_warc(pages_df(spark, sf_dir)))
+    # eager localCheckpoint: two consumers branch off the recovered
+    # records (the parse and the warc_ts join side) — without it the
+    # WARC pack + record walk execute twice per action (the recurring
+    # double-evaluation gotcha; GC-released, unlike a persist)
+    recovered = (warc_records(pages_to_warc(pages_df(spark, sf_dir)))
+                 .localCheckpoint(eager=True))
     return (extract_pages(recovered, with_spans=False)
             .join(recovered.select("url", "warc_ts"), "url")
             .select("url",

@@ -42,6 +42,30 @@ WARC_TS_FMT = "%Y-%m-%dT%H:%M:%SZ"
 WARC_RECORDS_SCHEMA = "url string, warc_ts timestamp, html binary"
 
 
+WARC_TS_FMT_US = "%Y-%m-%dT%H:%M:%S.%fZ"  # WARC 1.1 fractional form
+_EPOCH_TS = "1970-01-01T00:00:00Z"
+
+
+def _format_warc_date(ts) -> str:
+    """WARC-Date for a possibly-missing timestamp: the epoch sentinel
+    for None/NaT (WARC-Date is mandatory), the WARC 1.1 fractional
+    form when sub-second precision exists (so the pack→unpack
+    round-trip is lossless), plain seconds otherwise."""
+    if ts is None or ts != ts:  # NaT is not equal to itself
+        return _EPOCH_TS
+    if ts.microsecond:
+        return ts.strftime(WARC_TS_FMT_US)
+    return ts.strftime(WARC_TS_FMT)
+
+
+def _clean_uri(uri: str) -> str:
+    """CR/LF cannot appear raw in a WARC header line — a crawl url
+    containing them would inject header fields (e.g. overwrite
+    WARC-Type) and silently corrupt the record framing. Percent-escape
+    exactly those two bytes; everything else passes through."""
+    return uri.replace("\r", "%0D").replace("\n", "%0A")
+
+
 def build_warc(records: list[tuple[str, datetime, bytes]]) -> bytes:
     """WARC/1.0 bytes for a list of (uri, fetch_time, payload)
     response records (embedded HTTP/1.1 200 response per record)."""
@@ -53,8 +77,8 @@ def build_warc(records: list[tuple[str, datetime, bytes]]) -> bytes:
                 + b"\r\n\r\n" + payload)
         hdr = ("WARC/1.0\r\n"
                "WARC-Type: response\r\n"
-               f"WARC-Target-URI: {uri}\r\n"
-               f"WARC-Date: {ts.strftime(WARC_TS_FMT)}\r\n"
+               f"WARC-Target-URI: {_clean_uri(uri)}\r\n"
+               f"WARC-Date: {_format_warc_date(ts)}\r\n"
                "Content-Type: application/http;msgtype=response\r\n"
                f"Content-Length: {len(http)}\r\n\r\n").encode()
         out.append(hdr + http + b"\r\n\r\n")
@@ -89,17 +113,26 @@ def iter_warc(data: bytes) -> Iterator[tuple[str, datetime | None, bytes]]:
             clen = int(fields["content-length"])
         except (KeyError, ValueError):
             return
+        if clen < 0:
+            # a negative length would move pos BACKWARDS — the same
+            # phantom record would then yield forever (unbounded
+            # memory in warc_records). Treat like an unparseable
+            # length: salvage ends here.
+            return
         block = data[end + 4:end + 4 + clen]
         if len(block) < clen:
             return  # truncated record: salvage what came before
         pos = end + 4 + clen
         if fields.get("warc-type") != "response":
             continue
-        try:
-            ts: datetime | None = datetime.strptime(
-                fields.get("warc-date", ""), WARC_TS_FMT)
-        except ValueError:
-            ts = None
+        raw_date = fields.get("warc-date", "")
+        ts: datetime | None = None
+        for fmt in (WARC_TS_FMT, WARC_TS_FMT_US):
+            try:
+                ts = datetime.strptime(raw_date, fmt)
+                break
+            except ValueError:
+                continue
         i = block.find(b"\r\n\r\n")
         payload = block[i + 4:] if i >= 0 else block
         yield fields.get("warc-target-uri", ""), ts, payload
@@ -114,7 +147,11 @@ def pages_to_warc(pages_df: DataFrame, n_files: int = 64) -> DataFrame:
 
     def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("url")
-        recs = [(u, t.to_pydatetime(), bytes(h))
+        # NaT → None (PAGES_SCHEMA is nullable): build_warc writes the
+        # epoch sentinel instead of crashing the bucket task on
+        # NaT.strftime; NULL html packs as an empty payload
+        recs = [(u, None if t is pd.NaT else t.to_pydatetime(),
+                 bytes(h) if h is not None else b"")
                 for u, t, h in zip(pdf["url"], pdf["warc_ts"],
                                    pdf["html"])]
         return pd.DataFrame({"warc_id": [f"warc-{key[0]:05d}"],
@@ -141,6 +178,15 @@ def warc_records(warc_df: DataFrame, warc_col: str = "warc") -> DataFrame:
                     continue
                 for uri, ts, payload in iter_warc(bytes(blob)):
                     urls.append(uri)
+                    # a parseable WARC-Date can still sit outside the
+                    # datetime64[ns] range (year 9999): pd.Series would
+                    # raise OutOfBoundsDatetime and fail the task —
+                    # clamp such dates to missing instead
+                    if ts is not None and not (
+                            pd.Timestamp.min.to_pydatetime(warn=False)
+                            <= ts
+                            <= pd.Timestamp.max.to_pydatetime(warn=False)):
+                        ts = None
                     tss.append(ts)
                     htmls.append(payload)
             yield pd.DataFrame({

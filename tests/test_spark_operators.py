@@ -1661,11 +1661,9 @@ def test_warc_roundtrip_and_salvage():
     # a request record between responses is skipped, not an error
     req = (b"WARC/1.0\r\nWARC-Type: request\r\nContent-Length: 4\r\n"
            b"\r\nGET \r\n\r\n")
-    parts = blob.split(b"\r\n\r\n")
     blob2 = build_warc(recs[:1]) + req + build_warc(recs[1:])
     assert [u for u, _, _ in iter_warc(blob2)] == ["https://a/1",
                                                    "https://a/2"]
-    assert parts  # keep flake quiet about the unused split
 
     # truncation mid-record 2: record 1 survives
     cut = blob2[:len(blob2) - 10]
@@ -1690,3 +1688,44 @@ def test_warc_spark_pack_unpack_matches_input(spark, pages):
     b = {(r["url"], r["warc_ts"], bytes(r["html"]))
          for r in rec.collect()}
     assert a == b
+
+
+def test_warc_walker_pathological_inputs():
+    """Review repros pinned: negative Content-Length must not loop
+    (salvage ends), out-of-ns-range WARC-Dates surface as NaT rather
+    than failing the Arrow batch, NaT/None timestamps pack as the
+    epoch sentinel, CRLF in a url cannot inject header fields."""
+    from datetime import datetime
+
+    from html_parser_spark.sources.warc import build_warc, iter_warc
+
+    evil = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://x/\r\n"
+            b"Content-Length: -83\r\n\r\npayload")
+    assert list(iter_warc(evil)) == []  # and terminates at all
+
+    # year-9999 date: parses at the walker level (datetime handles it);
+    # the Spark operator clamps it to NaT before Arrow — here we pin
+    # the walker yields it rather than raising
+    far = build_warc([("https://a/1", datetime(9999, 12, 31, 23, 59, 59),
+                       b"<p>x</p>")])
+    (u, t, p), = iter_warc(far)
+    assert t == datetime(9999, 12, 31, 23, 59, 59)
+
+    # None timestamp -> epoch sentinel, record still round-trips
+    blob = build_warc([("https://a/2", None, b"<p>y</p>")])
+    (u, t, p), = iter_warc(blob)
+    assert (u, t, p) == ("https://a/2", datetime(1970, 1, 1), b"<p>y</p>")
+
+    # sub-second precision round-trips via the WARC 1.1 fractional form
+    ts = datetime(2025, 3, 1, 12, 0, 0, 500000)
+    (u, t, p), = iter_warc(build_warc([("https://a/3", ts, b"z")]))
+    assert t == ts
+
+    # CRLF injection: the crafted uri cannot overwrite WARC-Type
+    inj = build_warc([("https://a/x\r\nWARC-Type: request",
+                       datetime(2025, 1, 1), b"<p>w</p>")])
+    recs = list(iter_warc(inj))
+    assert len(recs) == 1
+    assert recs[0][0] == "https://a/x%0D%0AWARC-Type: request"
+    assert recs[0][2] == b"<p>w</p>"
