@@ -1318,6 +1318,33 @@ def _q_warc_ingest(spark, sf_dir):
                     "text"))
 
 
+_CRAWL_DELAYS = (("example.org", 2), ("site0.example.com", 5),
+                 ("site2.example.com", 5))
+
+
+def _q_crawl_schedule(spark, sf_dir):
+    """Politeness scheduling composed with the robots verdict: the
+    allowed frontier gets per-host fetch slots (fan-in-priority order)
+    and ETAs honoring each host's crawl-delay (example.org 2 s, two
+    site hosts 5 s, default 1 s for the rest). Oracle re-derives
+    frontier → verdict → schedule with its own window."""
+    from html_parser_spark.operators.links import extract_links, frontier
+    from html_parser_spark.operators.robots import (crawl_schedule,
+                                                    robots_filter)
+    p = pages_df(spark, sf_dir)
+    rules = spark.createDataFrame(list(_ROBOTS_RULES),
+                                  ["host", "rule", "prefix"])
+    delays = spark.createDataFrame(list(_CRAWL_DELAYS),
+                                   ["host", "delay_s"])
+    allowed = (robots_filter(frontier(extract_links(p), p), rules,
+                             url_col="canon", broadcast_rules=True)
+               .where(F.col("allowed"))
+               .select("canon", "n_refs"))
+    return (crawl_schedule(allowed, delays, url_col="canon",
+                           default_delay_s=1, broadcast_delays=True)
+            .select("canon", "n_refs", "host", "fetch_slot", "eta_s"))
+
+
 def _q_quality_surprisal(spark, sf_dir):
     """Unigram-LM surprisal quality score in exact integer bits
     (floor_log2 via bin-string length — identical in both engines);
@@ -1403,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_tables": _q_extract_tables,
         "frontier_robots": _q_frontier_robots,
         "warc_ingest": _q_warc_ingest,
+        "crawl_schedule": _q_crawl_schedule,
         # -- driver-verified in r04, rotating through the window --
         "dedup_substrings_overflow": _q_dedup_substrings_overflow,
         "collocations": _q_collocations,
@@ -1432,8 +1460,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_simhash_pairs_prod": _q_dedup_simhash_pairs_prod,
         "decontaminate": _q_decontaminate,
-        "pii_scrub": _q_pii_scrub,
         # ------- past slot 50: veterans green in rounds 1–4 -------
+        "pii_scrub": _q_pii_scrub,
         "similarity_topk": _q_sim_topk,
         "similarity_ann_lsh": _q_sim_lsh,
         "similarity_ann_ivf": _q_sim_ivf,
@@ -1950,6 +1978,54 @@ SELECT doc_id,
        sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END)::bigint AS n_rare
 FROM wt JOIN c USING (w)
 GROUP BY doc_id""",
+        # frontier → robots verdict → per-host politeness window, all
+        # re-derived; the delay VALUES mirror _CRAWL_DELAYS
+        "crawl_schedule": f"""
+WITH b AS (SELECT doc_id,
+                  lpad(((doc_id * 7 + 1) % 100000000)::varchar, 8, '0')
+                    AS nxt,
+                  (doc_id % 5)::varchar AS h
+           FROM documents WHERE doc_id % 23 = 8),
+t AS (SELECT 'https://example.org/r/doc' || nxt || '.html' AS canon FROM b
+      UNION ALL
+      SELECT 'https://site' || h || '.example.com/t' FROM b),
+agg AS (SELECT canon, count(*)::bigint AS n_refs FROM t GROUP BY canon),
+seen AS (SELECT DISTINCT {URL_SQL} AS canon FROM documents),
+fr AS (SELECT a.canon, a.n_refs
+       FROM agg a LEFT JOIN seen s ON s.canon = a.canon
+       WHERE s.canon IS NULL),
+rules(host, rule, prefix) AS (VALUES
+    {", ".join(f"('{h}', '{r}', '{p}')" for h, r, p in _ROBOTS_RULES)}),
+l AS (SELECT canon, n_refs,
+             regexp_extract(canon,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]*)',
+                 1) AS host,
+             CASE WHEN regexp_replace(canon,
+                      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') = ''
+                  THEN '/'
+                  ELSE regexp_replace(canon,
+                      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')
+             END AS path
+      FROM fr),
+m AS (SELECT l.canon, l.n_refs, l.host, r.rule, r.prefix
+      FROM l LEFT JOIN rules r
+        ON r.host = l.host AND starts_with(l.path, r.prefix)),
+rk AS (SELECT *, row_number() OVER (PARTITION BY canon
+           ORDER BY (prefix IS NOT NULL) DESC, length(prefix) DESC,
+                    rule ASC) AS rn
+       FROM m),
+alw AS (SELECT canon, n_refs, host FROM rk
+        WHERE rn = 1 AND coalesce(rule, '') <> 'disallow'),
+d(host, delay_s) AS (VALUES
+    {", ".join(f"('{h}', {s})" for h, s in _CRAWL_DELAYS)}),
+sch AS (SELECT alw.canon, alw.n_refs, alw.host,
+               coalesce(d.delay_s, 1) AS delay_s,
+               row_number() OVER (PARTITION BY alw.host
+                   ORDER BY alw.n_refs DESC, alw.canon ASC) - 1 AS slot
+        FROM alw LEFT JOIN d ON d.host = alw.host)
+SELECT canon, n_refs, host, slot::bigint AS fetch_slot,
+       (slot * delay_s)::bigint AS eta_s
+FROM sch""",
         # the WARC round-trip must land exactly on the golden text and
         # the sha256-derived crawl timestamp (same closed form the
         # corpus generator uses) — any drift in record framing, header

@@ -138,3 +138,41 @@ def robots_filter(frontier_df: DataFrame, rules_df: DataFrame,
             .withColumn("rule", F.coalesce(F.col("rule"), F.lit("")))
             .withColumn("prefix", F.coalesce(F.col("prefix"), F.lit("")))
             .drop("_rn", "_row", "_host", "_path"))
+
+
+def crawl_schedule(frontier_df: DataFrame, delays_df: DataFrame,
+                   url_col: str = "canon",
+                   default_delay_s: int = 1,
+                   broadcast_delays: bool = False) -> DataFrame:
+    """Politeness scheduling: assign each frontier url a per-host fetch
+    slot and ETA honoring the host's crawl-delay — the step between the
+    robots verdict and the fetcher queue.
+
+    Urls are ordered within a host by (n_refs desc, url asc) — highest
+    fan-in first, fully deterministic — and slot k fetches at
+    ``eta_s = k * delay_s`` (the host's crawl-delay, or
+    ``default_delay_s`` when the host declares none). Adds
+    (host, fetch_slot, eta_s); input columns pass through.
+
+    Scale shape: one equi-join on host against the tiny delay table
+    (broadcast when bounded) and one per-host window. Per-host
+    scheduling is inherently sequential — that is the semantics, not a
+    plan defect — so the window sort is bounded by the largest single
+    host's frontier; a 10^12-url frontier spread over 10^8 hosts sorts
+    ~10^4 rows per partition key."""
+    host = F.regexp_extract(F.col(url_col), HOST_OF_RE, 1)
+    delays = delays_df.select("host", "delay_s")
+    if broadcast_delays:
+        delays = F.broadcast(delays)
+    j = (frontier_df.withColumn("host", host)
+         .join(delays, "host", "left")
+         .withColumn("delay_s", F.coalesce(F.col("delay_s"),
+                                           F.lit(default_delay_s))))
+    w = Window.partitionBy("host").orderBy(
+        F.col("n_refs").desc(), F.col(url_col).asc())
+    return (j.withColumn("fetch_slot",
+                         (F.row_number().over(w) - 1).cast("long"))
+            .withColumn("eta_s",
+                        (F.col("fetch_slot") * F.col("delay_s"))
+                        .cast("long"))
+            .drop("delay_s"))

@@ -1729,3 +1729,25 @@ def test_warc_walker_pathological_inputs():
     assert len(recs) == 1
     assert recs[0][0] == "https://a/x%0D%0AWARC-Type: request"
     assert recs[0][2] == b"<p>w</p>"
+
+
+def test_crawl_schedule_slots_and_delays(spark):
+    """Per-host politeness: slots are fan-in-priority ordered within a
+    host, ETAs multiply by the host's crawl-delay, hosts without a
+    declared delay use the default, and payload columns pass through."""
+    from html_parser_spark.operators.robots import crawl_schedule
+
+    fr = spark.createDataFrame(
+        [("https://a.com/x", 5), ("https://a.com/y", 9),
+         ("https://a.com/z", 5), ("https://b.com/only", 1)],
+        ["canon", "n_refs"])
+    delays = spark.createDataFrame([("a.com", 3)], ["host", "delay_s"])
+    got = {r["canon"]: (r["host"], r["fetch_slot"], r["eta_s"])
+           for r in crawl_schedule(fr, delays,
+                                   default_delay_s=7).collect()}
+    # a.com order: y (9 refs), then x/z tie broken by url asc
+    assert got["https://a.com/y"] == ("a.com", 0, 0)
+    assert got["https://a.com/x"] == ("a.com", 1, 3)
+    assert got["https://a.com/z"] == ("a.com", 2, 6)
+    # b.com has no declared delay -> default, slot 0
+    assert got["https://b.com/only"] == ("b.com", 0, 0)
