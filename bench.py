@@ -196,6 +196,9 @@ def main() -> None:
         # the raw sf scale — the container-format ingest path
         queries["warc_ingest"] = time_query(
             qmap["warc_ingest"], spark, sf_dir, reps=1)
+        # politeness scheduling composed with the robots verdict
+        queries["crawl_schedule"] = time_query(
+            qmap["crawl_schedule"], spark, sf_dir, reps=2)
 
         out = {
             "metric": "extract_wall_sec",
