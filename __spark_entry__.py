@@ -1261,6 +1261,46 @@ def _q_extract_tables(spark, sf_dir):
     return extract_html_tables(pages_df(spark, sf_dir))
 
 
+# one SQL body for the frontier → robots-verdict derivation, shared by
+# the frontier_robots and crawl_schedule oracles so the two independent
+# recomputes cannot drift; the host regex is robots.HOST_OF_RE verbatim
+# (Java and RE2 agree on this pattern)
+def _frontier_robots_ctes() -> str:
+    from html_parser_spark.operators.robots import HOST_OF_RE
+    rules_values = ", ".join(f"('{h}', '{r}', '{p}')"
+                             for h, r, p in _ROBOTS_RULES)
+    return f"""
+b AS (SELECT doc_id,
+             lpad(((doc_id * 7 + 1) % 100000000)::varchar, 8, '0') AS nxt,
+             (doc_id % 5)::varchar AS h
+      FROM documents WHERE doc_id % 23 = 8),
+t AS (SELECT 'https://example.org/r/doc' || nxt || '.html' AS canon FROM b
+      UNION ALL
+      SELECT 'https://site' || h || '.example.com/t' FROM b),
+agg AS (SELECT canon, count(*)::bigint AS n_refs FROM t GROUP BY canon),
+seen AS (SELECT DISTINCT {URL_SQL} AS canon FROM documents),
+fr AS (SELECT a.canon, a.n_refs
+       FROM agg a LEFT JOIN seen s ON s.canon = a.canon
+       WHERE s.canon IS NULL),
+rules(host, rule, prefix) AS (VALUES {rules_values}),
+l AS (SELECT canon, n_refs,
+             regexp_extract(canon, '{HOST_OF_RE}', 1) AS host,
+             CASE WHEN regexp_replace(canon,
+                      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') = ''
+                  THEN '/'
+                  ELSE regexp_replace(canon,
+                      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')
+             END AS path
+      FROM fr),
+m AS (SELECT l.canon, l.n_refs, l.host, r.rule, r.prefix
+      FROM l LEFT JOIN rules r
+        ON r.host = l.host AND starts_with(l.path, r.prefix)),
+rk AS (SELECT *, row_number() OVER (PARTITION BY canon
+           ORDER BY (prefix IS NOT NULL) DESC, length(prefix) DESC,
+                    rule ASC) AS rn
+       FROM m)"""
+
+
 # target paths are '/r/doc' + 8-digit zero-padded (7*doc_id+1), so
 # prefix choice controls which nxt bands each rule bites: disallow
 # '...0000' covers nxt<10⁴ (every target at sf≤0.01, a band at sf0.1),
@@ -1981,39 +2021,7 @@ GROUP BY doc_id""",
         # frontier → robots verdict → per-host politeness window, all
         # re-derived; the delay VALUES mirror _CRAWL_DELAYS
         "crawl_schedule": f"""
-WITH b AS (SELECT doc_id,
-                  lpad(((doc_id * 7 + 1) % 100000000)::varchar, 8, '0')
-                    AS nxt,
-                  (doc_id % 5)::varchar AS h
-           FROM documents WHERE doc_id % 23 = 8),
-t AS (SELECT 'https://example.org/r/doc' || nxt || '.html' AS canon FROM b
-      UNION ALL
-      SELECT 'https://site' || h || '.example.com/t' FROM b),
-agg AS (SELECT canon, count(*)::bigint AS n_refs FROM t GROUP BY canon),
-seen AS (SELECT DISTINCT {URL_SQL} AS canon FROM documents),
-fr AS (SELECT a.canon, a.n_refs
-       FROM agg a LEFT JOIN seen s ON s.canon = a.canon
-       WHERE s.canon IS NULL),
-rules(host, rule, prefix) AS (VALUES
-    {", ".join(f"('{h}', '{r}', '{p}')" for h, r, p in _ROBOTS_RULES)}),
-l AS (SELECT canon, n_refs,
-             regexp_extract(canon,
-                 '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]*)',
-                 1) AS host,
-             CASE WHEN regexp_replace(canon,
-                      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') = ''
-                  THEN '/'
-                  ELSE regexp_replace(canon,
-                      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')
-             END AS path
-      FROM fr),
-m AS (SELECT l.canon, l.n_refs, l.host, r.rule, r.prefix
-      FROM l LEFT JOIN rules r
-        ON r.host = l.host AND starts_with(l.path, r.prefix)),
-rk AS (SELECT *, row_number() OVER (PARTITION BY canon
-           ORDER BY (prefix IS NOT NULL) DESC, length(prefix) DESC,
-                    rule ASC) AS rn
-       FROM m),
+WITH {_frontier_robots_ctes()},
 alw AS (SELECT canon, n_refs, host FROM rk
         WHERE rn = 1 AND coalesce(rule, '') <> 'disallow'),
 d(host, delay_s) AS (VALUES
@@ -2042,39 +2050,7 @@ FROM documents""",
         # window encodes specificity-then-allow exactly like the
         # operator (matched first, longest prefix, 'allow' < 'disallow')
         "frontier_robots": f"""
-WITH b AS (SELECT doc_id,
-                  lpad(((doc_id * 7 + 1) % 100000000)::varchar, 8, '0')
-                    AS nxt,
-                  (doc_id % 5)::varchar AS h
-           FROM documents WHERE doc_id % 23 = 8),
-t AS (SELECT 'https://example.org/r/doc' || nxt || '.html' AS canon FROM b
-      UNION ALL
-      SELECT 'https://site' || h || '.example.com/t' FROM b),
-agg AS (SELECT canon, count(*)::bigint AS n_refs FROM t GROUP BY canon),
-seen AS (SELECT DISTINCT {URL_SQL} AS canon FROM documents),
-fr AS (SELECT a.canon, a.n_refs
-       FROM agg a LEFT JOIN seen s ON s.canon = a.canon
-       WHERE s.canon IS NULL),
-rules(host, rule, prefix) AS (VALUES
-    {", ".join(f"('{h}', '{r}', '{p}')" for h, r, p in _ROBOTS_RULES)}),
-l AS (SELECT canon, n_refs,
-             regexp_extract(canon,
-                 '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]*)',
-                 1) AS host,
-             CASE WHEN regexp_replace(canon,
-                      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') = ''
-                  THEN '/'
-                  ELSE regexp_replace(canon,
-                      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')
-             END AS path
-      FROM fr),
-m AS (SELECT l.canon, l.n_refs, r.rule, r.prefix
-      FROM l LEFT JOIN rules r
-        ON r.host = l.host AND starts_with(l.path, r.prefix)),
-rk AS (SELECT *, row_number() OVER (PARTITION BY canon
-           ORDER BY (prefix IS NOT NULL) DESC, length(prefix) DESC,
-                    rule ASC) AS rn
-       FROM m)
+WITH {_frontier_robots_ctes()}
 SELECT canon, n_refs,
        coalesce(rule, '') <> 'disallow' AS allowed,
        coalesce(rule, '') AS rule,

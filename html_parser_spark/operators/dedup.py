@@ -150,21 +150,18 @@ def containment_pairs(docs: DataFrame, n: int = 3, min_pct: int = 80,
     # self-join lineage per branch (measured 26 exchanges vs 13) — the
     # recurring double-evaluation gotcha. The 2-element explode is a
     # narrow row-doubling of the tiny pair table instead.
-    d = F.col("_dir")
-    size_of = {0: F.col("na"), 1: F.col("nb")}
+    fwd = F.col("_dir") == 0
+    contained_size = F.when(fwd, F.col("na")).otherwise(F.col("nb"))
     return (joined
             .select("*", F.explode(F.array(F.lit(0), F.lit(1)))
                     .alias("_dir"))
-            .where(100 * F.col("inter")
-                   >= min_pct * F.when(d == 0, size_of[0])
-                   .otherwise(size_of[1]))
-            .select(F.when(d == 0, F.col("doc_a")).otherwise(F.col("doc_b"))
+            .where(100 * F.col("inter") >= min_pct * contained_size)
+            .select(F.when(fwd, F.col("doc_a")).otherwise(F.col("doc_b"))
                     .alias("doc_contained"),
-                    F.when(d == 0, F.col("doc_b")).otherwise(F.col("doc_a"))
+                    F.when(fwd, F.col("doc_b")).otherwise(F.col("doc_a"))
                     .alias("doc_container"),
                     "inter",
-                    F.when(d == 0, size_of[0]).otherwise(size_of[1])
-                    .cast("long").alias("n_contained")))
+                    contained_size.cast("long").alias("n_contained")))
 
 
 def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
