@@ -1577,15 +1577,17 @@ def test_round5_family_plan_shapes(spark):
     fr = spark.createDataFrame(
         [("https://h/x", 1), ("https://h/y", 2)], ["canon", "n_refs"])
 
+    delays = spark.createDataFrame([("h", 2)], ["host", "delay_s"])
     plans = {
         "surprisal": textstats.surprisal_stats(docs),
         "containment": dedup.containment_pairs(docs, n=3, min_pct=80,
                                                max_doc_freq=20),
         "plagiarism": textstats.plagiarism_pairs(docs),
         "robots": robots.robots_filter(fr, rules),
+        "schedule": robots.crawl_schedule(fr, delays),
     }
     budget = {"surprisal": 4, "containment": 13, "plagiarism": 9,
-              "robots": 3}
+              "robots": 3, "schedule": 3}
     for name, df in plans.items():
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
@@ -1751,3 +1753,14 @@ def test_crawl_schedule_slots_and_delays(spark):
     assert got["https://a.com/z"] == ("a.com", 2, 6)
     # b.com has no declared delay -> default, slot 0
     assert got["https://b.com/only"] == ("b.com", 0, 0)
+
+
+def test_extract_tables_zero_shuffle(spark, pages):
+    """The table-mining kernel is a pure map: zero Exchange in the
+    plan (fan-out happens inside mapInPandas, never via explode of a
+    materialized array)."""
+    from html_parser_spark.operators.extract import extract_html_tables
+
+    plan = (extract_html_tables(pages)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan
