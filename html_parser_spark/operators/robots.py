@@ -152,7 +152,11 @@ def crawl_schedule(frontier_df: DataFrame, delays_df: DataFrame,
     fan-in first, fully deterministic — and slot k fetches at
     ``eta_s = k * delay_s`` (the host's crawl-delay, or
     ``default_delay_s`` when the host declares none). Adds
-    (host, fetch_slot, eta_s); input columns pass through.
+    (host, fetch_slot, eta_s); input columns pass through (a
+    pre-existing ``host`` column is replaced by the one derived from
+    ``url_col`` — the schedule keys on the url's own host; the
+    internal delay column is underscore-scoped so a frontier carrying
+    its own ``delay_s`` payload column is untouched).
 
     Scale shape: one equi-join on host against the tiny delay table
     (broadcast when bounded) and one per-host window. Per-host
@@ -161,18 +165,19 @@ def crawl_schedule(frontier_df: DataFrame, delays_df: DataFrame,
     host's frontier; a 10^12-url frontier spread over 10^8 hosts sorts
     ~10^4 rows per partition key."""
     host = F.regexp_extract(F.col(url_col), HOST_OF_RE, 1)
-    delays = delays_df.select("host", "delay_s")
+    delays = delays_df.select("host",
+                              F.col("delay_s").alias("_delay_s"))
     if broadcast_delays:
         delays = F.broadcast(delays)
     j = (frontier_df.withColumn("host", host)
          .join(delays, "host", "left")
-         .withColumn("delay_s", F.coalesce(F.col("delay_s"),
-                                           F.lit(default_delay_s))))
+         .withColumn("_delay_s", F.coalesce(F.col("_delay_s"),
+                                            F.lit(default_delay_s))))
     w = Window.partitionBy("host").orderBy(
         F.col("n_refs").desc(), F.col(url_col).asc())
     return (j.withColumn("fetch_slot",
                          (F.row_number().over(w) - 1).cast("long"))
             .withColumn("eta_s",
-                        (F.col("fetch_slot") * F.col("delay_s"))
+                        (F.col("fetch_slot") * F.col("_delay_s"))
                         .cast("long"))
-            .drop("delay_s"))
+            .drop("_delay_s"))

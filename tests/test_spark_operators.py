@@ -1741,7 +1741,8 @@ def test_crawl_schedule_slots_and_delays(spark):
 
     fr = spark.createDataFrame(
         [("https://a.com/x", 5), ("https://a.com/y", 9),
-         ("https://a.com/z", 5), ("https://b.com/only", 1)],
+         ("https://a.com/z", 5), ("https://b.com/one", 8),
+         ("https://b.com/two", 1)],
         ["canon", "n_refs"])
     delays = spark.createDataFrame([("a.com", 3)], ["host", "delay_s"])
     got = {r["canon"]: (r["host"], r["fetch_slot"], r["eta_s"])
@@ -1751,8 +1752,27 @@ def test_crawl_schedule_slots_and_delays(spark):
     assert got["https://a.com/y"] == ("a.com", 0, 0)
     assert got["https://a.com/x"] == ("a.com", 1, 3)
     assert got["https://a.com/z"] == ("a.com", 2, 6)
-    # b.com has no declared delay -> default, slot 0
-    assert got["https://b.com/only"] == ("b.com", 0, 0)
+    # b.com has no declared delay: slot 1 must multiply by the DEFAULT
+    # (a single-url host would make eta 0 under any delay — the review
+    # caught that the default was value-dead without a second url)
+    assert got["https://b.com/one"] == ("b.com", 0, 0)
+    assert got["https://b.com/two"] == ("b.com", 1, 7)
+
+
+def test_crawl_schedule_payload_columns_survive(spark):
+    """A frontier carrying its own delay_s payload column must not
+    collide with the internal working column (underscore-scoped)."""
+    from html_parser_spark.operators.robots import crawl_schedule
+
+    fr = spark.createDataFrame(
+        [("https://a.com/x", 2, 99), ("https://a.com/y", 1, 42)],
+        ["canon", "n_refs", "delay_s"])
+    delays = spark.createDataFrame([("a.com", 3)], ["host", "delay_s"])
+    rows = {r["canon"]: (r["delay_s"], r["fetch_slot"], r["eta_s"])
+            for r in crawl_schedule(fr, delays).collect()}
+    # payload delay_s passes through untouched; schedule used a.com's 3
+    assert rows["https://a.com/x"] == (99, 0, 0)
+    assert rows["https://a.com/y"] == (42, 1, 3)
 
 
 def test_extract_tables_zero_shuffle(spark, pages):
