@@ -34,6 +34,10 @@ def main(argv: list[str] | None = None) -> int:
                                     "html, text, lang)")
     ap.add_argument("--synth", help="synthesize pages from this testdata "
                                     "dir's documents.parquet instead")
+    ap.add_argument("--warc-input",
+                    help="ingest WARC blobs instead: parquet of "
+                         "(warc_id, warc binary) — records are walked "
+                         "into (url, warc_ts, html) before extraction")
     ap.add_argument("--output", required=True)
     ap.add_argument("--plan", default="isolate",
                     choices=["isolate", "full", "none"])
@@ -56,12 +60,15 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.synth:
         pages = pages_df(spark, args.synth)
+    elif args.warc_input:
+        from html_parser_spark.sources.warc import warc_records
+        pages = warc_records(spark.read.parquet(args.warc_input))
     elif args.input and "/" in args.input:
         pages = spark.read.parquet(args.input)
     elif args.input:
         pages = spark.table(args.input)
     else:
-        ap.error("one of --input/--synth is required")
+        ap.error("one of --input/--synth/--warc-input is required")
 
     report = run_extraction(spark, pages, args.output,
                             num_partitions=args.num_partitions,

@@ -46,3 +46,45 @@ def test_pyfiles_zip_matches_source_tree():
         assert not stale, (
             f"dist/hps.zip content differs from source for {stale} — "
             "run tools/package.sh")
+
+
+def test_extract_job_warc_input_smoke(tmp_path):
+    """The spark-submit job binary accepts --warc-input: WARC blobs →
+    record walk → extraction, run as a subprocess the way a cluster
+    invokes it (PYTHONPATH standing in for --py-files)."""
+    import json
+    import subprocess
+    import sys
+
+    import pytest
+
+    pytest.importorskip("pyspark")
+    from html_parser_spark.plans.pipeline import configure
+    from html_parser_spark.sources.pages import pages_df
+    from html_parser_spark.sources.warc import pages_to_warc
+
+    from pyspark.sql import SparkSession
+
+    # reuse a live session if another module's fixture holds one —
+    # configure()'s getOrCreate would return that same session and
+    # stopping it here would break the rest of the suite
+    active = SparkSession.getActiveSession()
+    s = active or configure(cpus=2)
+    s.sparkContext.setLogLevel("ERROR")
+    try:
+        pages_to_warc(pages_df(s, "/root/testdata/sf0.001").limit(60)
+                      .select("url", "warc_ts", "html"), n_files=2) \
+            .write.parquet(str(tmp_path / "warc"))
+    finally:
+        if active is None:
+            s.stop()
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "extract_job.py"),
+         "--warc-input", str(tmp_path / "warc"),
+         "--output", str(tmp_path / "out")],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads(
+        [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1])
+    assert report["docs"] == 60
