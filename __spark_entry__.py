@@ -1392,6 +1392,26 @@ def _q_quality_surprisal(spark, sf_dir):
     return textstats.surprisal_stats(_docs(spark, sf_dir))
 
 
+def _q_curation_lm(spark, sf_dir):
+    """The CCNet shape composed end-to-end: real WHATWG parse+extract
+    → unigram-LM surprisal over the EXTRACTED text (keyed by url) →
+    integer-exact band filter around the corpus mean bits/word
+    (|avg − mean| ≤ 3 bits ⇒ keep; both tails — gibberish high,
+    boilerplate low — are cut candidates). The corpus mean is total
+    bits DIV total words ×100 — exact integers, so the keep flag is
+    bit-identical on both engines. Oracle recomputes the whole chain
+    from the closed-form expected text."""
+    extracted = (extract_pages(pages_df(spark, sf_dir), with_spans=False)
+                 .select("url", "text"))
+    s = textstats.surprisal_stats(extracted, key_col="url")
+    mean = s.agg(F.expr("100 * sum(surprisal_bits) DIV sum(n_words)")
+                 .cast("long").alias("mean_x100"))
+    return (s.crossJoin(F.broadcast(mean))
+            .select("url", "n_words", "avg_bits_x100", "mean_x100",
+                    (F.abs(F.col("avg_bits_x100") - F.col("mean_x100"))
+                     <= 300).alias("keep")))
+
+
 def _q_dedup_containment(spark, sf_dir):
     """Asymmetric containment near-superset pairs (|A∩B|/|A| ≥ 80%)
     under the production hot-shingle cap; the quote-expansion dup
@@ -1471,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_robots": _q_frontier_robots,
         "warc_ingest": _q_warc_ingest,
         "crawl_schedule": _q_crawl_schedule,
+        "curation_lm_pipeline": _q_curation_lm,
         # -- driver-verified in r04, rotating through the window --
         "dedup_substrings_overflow": _q_dedup_substrings_overflow,
         "collocations": _q_collocations,
@@ -1499,8 +1520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_simhash_pairs_prod": _q_dedup_simhash_pairs_prod,
-        "decontaminate": _q_decontaminate,
         # ------- past slot 50: veterans green in rounds 1–4 -------
+        "decontaminate": _q_decontaminate,
         "pii_scrub": _q_pii_scrub,
         "similarity_topk": _q_sim_topk,
         "similarity_ann_lsh": _q_sim_lsh,
@@ -2093,6 +2114,27 @@ WITH wt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
 SELECT doc_id, n_words, surprisal_bits,
        (100 * surprisal_bits // n_words)::bigint AS avg_bits_x100
 FROM d""",
+        # the CCNet composition: the SAME surprisal math as
+        # quality_surprisal but over the closed-form EXPECTED extracted
+        # text keyed by url, plus the integer corpus-mean band filter
+        "curation_lm_pipeline": f"""
+WITH wt AS (SELECT {URL_SQL} AS url,
+                   unnest(string_split({TEXT_SQL}, ' ')) AS w
+            FROM documents),
+     c AS (SELECT w, count(*)::bigint AS cnt FROM wt GROUP BY w),
+     n AS (SELECT sum(cnt)::bigint AS total FROM c),
+     d AS (SELECT url, count(*)::bigint AS n_words,
+                  sum((length(bin(total)) - 1)
+                      - (length(bin(cnt)) - 1))::bigint AS sbits
+           FROM wt JOIN c USING (w) CROSS JOIN n
+           GROUP BY url),
+     m AS (SELECT (100 * sum(sbits) // sum(n_words))::bigint
+                    AS mean_x100 FROM d)
+SELECT url, n_words,
+       (100 * sbits // n_words)::bigint AS avg_bits_x100,
+       mean_x100,
+       abs((100 * sbits // n_words) - mean_x100) <= 300 AS keep
+FROM d CROSS JOIN m""",
         "dedup_containment": f"""
 WITH {_SHINGLE_CTE},
 keep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 20),

@@ -199,6 +199,9 @@ def main() -> None:
         # politeness scheduling composed with the robots verdict
         queries["crawl_schedule"] = time_query(
             qmap["crawl_schedule"], spark, sf_dir, reps=2)
+        # CCNet composition: parse + LM-surprisal + band filter
+        queries["curation_lm_pipeline"] = time_query(
+            qmap["curation_lm_pipeline"], spark, sf_dir, reps=1)
 
         out = {
             "metric": "extract_wall_sec",

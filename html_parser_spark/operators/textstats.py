@@ -188,7 +188,8 @@ def _floor_log2(c) -> "F.Column":
 
 
 def surprisal_stats(docs: DataFrame,
-                    broadcast_vocab: bool = False) -> DataFrame:
+                    broadcast_vocab: bool = False,
+                    key_col: str = "doc_id") -> DataFrame:
     """Unigram language-model surprisal per document, in exact integer
     bits — the CCNet/Gopher "perplexity filter" realized with a corpus
     self-trained LM instead of an external KenLM binary (a real KenLM
@@ -210,7 +211,7 @@ def surprisal_stats(docs: DataFrame,
     by default because a web-scale long-tail vocabulary outgrows the
     driver; ``broadcast_vocab=True`` when the vocabulary is bounded."""
     words = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        key_col, F.explode(F.split(F.col("text"), " ")).alias("w"))
     counts = words.groupBy("w").agg(
         F.count("*").cast("long").alias("cnt"))
     total = counts.agg(F.sum("cnt").cast("long").alias("total"))
@@ -220,7 +221,7 @@ def surprisal_stats(docs: DataFrame,
               .crossJoin(F.broadcast(total))
               .withColumn("bits", _floor_log2(F.col("total"))
                           - _floor_log2(F.col("cnt"))))
-    return (scored.groupBy("doc_id")
+    return (scored.groupBy(key_col)
             .agg(F.count("*").cast("long").alias("n_words"),
                  F.sum("bits").cast("long").alias("surprisal_bits"))
             .withColumn(

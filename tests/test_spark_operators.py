@@ -1784,3 +1784,22 @@ def test_extract_tables_zero_shuffle(spark, pages):
     plan = (extract_html_tables(pages)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan, plan
+
+
+def test_curation_lm_pipeline_band_is_live(spark):
+    """The LM band filter must actually cut something AND keep
+    something on the test corpus (a degenerate all-keep/all-cut band
+    would make the oracle comparison vacuous), and the corpus mean is
+    the integer weighted mean of the per-doc scores."""
+    import __spark_entry__ as e
+
+    rows = e._q_curation_lm(spark, SF_DIR).collect()
+    kept = [r for r in rows if r["keep"]]
+    cut = [r for r in rows if not r["keep"]]
+    assert kept and cut
+    # mean_x100 is constant across rows and within the observed range
+    means = {r["mean_x100"] for r in rows}
+    assert len(means) == 1
+    lo = min(r["avg_bits_x100"] for r in rows)
+    hi = max(r["avg_bits_x100"] for r in rows)
+    assert lo <= means.pop() <= hi
