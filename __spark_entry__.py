@@ -1401,9 +1401,20 @@ def _q_curation_lm(spark, sf_dir):
     bits DIV total words ×100 — exact integers, so the keep flag is
     bit-identical on both engines. Oracle recomputes the whole chain
     from the closed-form expected text."""
-    extracted = (extract_pages(pages_df(spark, sf_dir), with_spans=False)
+    from html_parser_spark.plans.pipeline import skew_isolate
+    # the production skew plan before the kernel: documents.parquet is
+    # one file per sf, so without the repartition the synthesis+parse
+    # chain runs on a single scan split (measured 30 s vs ~7 s sf0.1)
+    parts = spark.sparkContext.defaultParallelism * 2
+    extracted = (extract_pages(skew_isolate(pages_df(spark, sf_dir),
+                                            parts), with_spans=False)
                  .select("url", "text"))
-    s = textstats.surprisal_stats(extracted, key_col="url")
+    # eager localCheckpoint: the per-doc score table feeds BOTH the
+    # corpus-mean reduction and the final select — without it the
+    # whole extract+surprisal lineage runs twice; GC-released,
+    # unlike a persist
+    s = (textstats.surprisal_stats(extracted, key_col="url")
+         .localCheckpoint(eager=True))
     mean = s.agg(F.expr("100 * sum(surprisal_bits) DIV sum(n_words)")
                  .cast("long").alias("mean_x100"))
     return (s.crossJoin(F.broadcast(mean))
