@@ -1406,13 +1406,18 @@ def _q_curation_lm(spark, sf_dir):
     # one file per sf, so without the repartition the synthesis+parse
     # chain runs on a single scan split (measured 30 s vs ~7 s sf0.1)
     parts = spark.sparkContext.defaultParallelism * 2
+    # TWO eager localCheckpoints, each killing a distinct re-execution:
+    # inside surprisal_stats the word stream descends into BOTH the
+    # vocab-count side and the probe side of the word⋈vocab join
+    # (different child plans, so ReuseExchange can't dedup them) — the
+    # parse kernel would run twice without checkpointing `extracted`;
+    # and the score table feeds both the corpus-mean reduction and the
+    # final select — the join would run twice without checkpointing
+    # `s`. Both GC-released, unlike persists.
     extracted = (extract_pages(skew_isolate(pages_df(spark, sf_dir),
                                             parts), with_spans=False)
-                 .select("url", "text"))
-    # eager localCheckpoint: the per-doc score table feeds BOTH the
-    # corpus-mean reduction and the final select — without it the
-    # whole extract+surprisal lineage runs twice; GC-released,
-    # unlike a persist
+                 .select("url", "text")
+                 .localCheckpoint(eager=True))
     s = (textstats.surprisal_stats(extracted, key_col="url")
          .localCheckpoint(eager=True))
     mean = s.agg(F.expr("100 * sum(surprisal_bits) DIV sum(n_words)")

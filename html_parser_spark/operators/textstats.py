@@ -199,10 +199,17 @@ def surprisal_stats(docs: DataFrame,
 
     Per token t: ``bits(t) = floor_log2(N_total) - floor_log2(cnt(t))``
     — an integer Shannon surprisal ``≈ -log2 p(t)`` exact to <1 bit.
-    Returns (doc_id, n_words, surprisal_bits, avg_bits_x100): documents
-    with abnormally HIGH average surprisal are gibberish/OCR noise;
+    Returns (``key_col``, n_words, surprisal_bits, avg_bits_x100) —
+    ``key_col`` names the document-identity column (default
+    ``doc_id``; pass ``url`` for extracted corpora). Documents with
+    abnormally HIGH average surprisal are gibberish/OCR noise;
     abnormally LOW are boilerplate/template spam — the two standard
     perplexity cut tails.
+
+    Callers whose input is itself expensive lineage (a parse kernel)
+    should localCheckpoint/persist it first: the word stream descends
+    into both the vocabulary-count side and the probe side of the
+    word⋈vocab join, so un-cached input evaluates twice.
 
     Scale shape (same budget as ``rarity_stats``): one exchange of the
     word stream to count the vocabulary (two-phase agg), the scalar

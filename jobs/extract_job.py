@@ -9,6 +9,11 @@ Usage (cluster):
         --input <pages table path or name> --output <output path> \
         [--plan isolate|full|none] [--no-resume] [--spans]
 
+Input modes (mutually exclusive): --input (pages parquet path or
+catalog table), --warc-input (parquet of (warc_id, warc binary) WARC
+blobs — record-walked into pages first), --synth (sandbox corpus
+synthesis from a testdata dir).
+
 Usage (sandbox smoke, synthesizes pages from the test documents table):
     python jobs/extract_job.py --synth /root/testdata/sf0.001 \
         --output /tmp/hps_out
@@ -29,15 +34,16 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", help="pages table: parquet path or "
-                                    "catalog table name (url, warc_ts, "
-                                    "html, text, lang)")
-    ap.add_argument("--synth", help="synthesize pages from this testdata "
-                                    "dir's documents.parquet instead")
-    ap.add_argument("--warc-input",
-                    help="ingest WARC blobs instead: parquet of "
-                         "(warc_id, warc binary) — records are walked "
-                         "into (url, warc_ts, html) before extraction")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="pages table: parquet path or "
+                                     "catalog table name (url, warc_ts, "
+                                     "html, text, lang)")
+    src.add_argument("--synth", help="synthesize pages from this testdata "
+                                     "dir's documents.parquet instead")
+    src.add_argument("--warc-input",
+                     help="ingest WARC blobs instead: parquet of "
+                          "(warc_id, warc binary) — records are walked "
+                          "into (url, warc_ts, html) before extraction")
     ap.add_argument("--output", required=True)
     ap.add_argument("--plan", default="isolate",
                     choices=["isolate", "full", "none"])

@@ -67,16 +67,20 @@ def test_extract_job_warc_input_smoke(tmp_path):
 
     # reuse a live session if another module's fixture holds one —
     # configure()'s getOrCreate would return that same session and
-    # stopping it here would break the rest of the suite
-    active = SparkSession.getActiveSession()
-    s = active or configure(cpus=2)
+    # stopping it here would break the rest of the suite. Check the
+    # process-global default too: getActiveSession() is thread-local,
+    # so a session created in another thread would read as None while
+    # getOrCreate still attaches to it.
+    existing = (SparkSession.getActiveSession()
+                or getattr(SparkSession, "_instantiatedSession", None))
+    s = existing or configure(cpus=2)
     s.sparkContext.setLogLevel("ERROR")
     try:
         pages_to_warc(pages_df(s, "/root/testdata/sf0.001").limit(60)
                       .select("url", "warc_ts", "html"), n_files=2) \
             .write.parquet(str(tmp_path / "warc"))
     finally:
-        if active is None:
+        if existing is None:
             s.stop()
     env = dict(os.environ, PYTHONPATH=REPO)
     r = subprocess.run(

@@ -1797,9 +1797,18 @@ def test_curation_lm_pipeline_band_is_live(spark):
     kept = [r for r in rows if r["keep"]]
     cut = [r for r in rows if not r["keep"]]
     assert kept and cut
-    # mean_x100 is constant across rows and within the observed range
+    # mean_x100 is constant across rows and IS the integer WEIGHTED
+    # mean (100·Σbits DIV Σwords), recomputed here from the surprisal
+    # operator's exact per-doc sums — an unweighted average of per-doc
+    # scores (or a DIV by doc count) would fail this
     means = {r["mean_x100"] for r in rows}
     assert len(means) == 1
-    lo = min(r["avg_bits_x100"] for r in rows)
-    hi = max(r["avg_bits_x100"] for r in rows)
-    assert lo <= means.pop() <= hi
+    from html_parser_spark.operators import textstats
+    from html_parser_spark.operators.extract import extract_pages
+    from html_parser_spark.sources.pages import pages_df as _pdf
+    s = textstats.surprisal_stats(
+        extract_pages(_pdf(spark, SF_DIR), with_spans=False)
+        .select("url", "text"), key_col="url").collect()
+    expect_mean = 100 * sum(r["surprisal_bits"] for r in s) \
+        // sum(r["n_words"] for r in s)
+    assert means.pop() == expect_mean
